@@ -1,0 +1,104 @@
+"""Genotype ingestion: file/array -> centered marker set for the device.
+
+Reference behavior (`/root/reference/src/prepMatVec.jl:113-134`): read a
+space-delimited headerless genotype file, drop any column containing a
+missing value, mean-center columns, keep dense f64. The TPU build instead
+keeps the raw 0/1/2 dosages as int8 (HBM-resident; 4x less bandwidth than
+f32) plus an f32 center vector, and applies centering algebraically inside
+the kernels: m_centered[:, j] = g[:, j] - center[j].
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MarkerData:
+    """Host-side marker set. genotypes int8 (nInd, nSNP), center f32 (nSNP,)."""
+
+    genotypes: np.ndarray
+    center: np.ndarray
+    snp_ids: list
+    chr_ids: Optional[np.ndarray] = None
+
+    @property
+    def n_ind(self) -> int:
+        return self.genotypes.shape[0]
+
+    @property
+    def n_snp(self) -> int:
+        return self.genotypes.shape[1]
+
+    def centered(self, dtype=np.float64) -> np.ndarray:
+        """Dense centered marker matrix (what the reference stores)."""
+        return self.genotypes.astype(dtype) - self.center.astype(dtype)[None, :]
+
+
+def from_array(m, snp_ids=None, chr_ids=None, drop_missing=True) -> MarkerData:
+    """Build a MarkerData from an (nInd, nSNP) dosage array. NaN entries mark
+    missing; columns with any missing value are dropped (prepMatVec.jl:118)."""
+    m = np.asarray(m, dtype=np.float64)
+    p0 = m.shape[1]
+    keep = np.ones(p0, dtype=bool)
+    if drop_missing:
+        keep = ~np.isnan(m).any(axis=0)
+    m = m[:, keep]
+    if snp_ids is None:
+        snp_ids = [f"M{i + 1}" for i in range(p0)]
+    snp_ids = [s for s, k in zip(snp_ids, keep) if k]
+    if chr_ids is not None:
+        chr_ids = np.asarray(chr_ids)[keep]
+    center = m.mean(axis=0)  # keep f64 host-side; planner casts per device dtype
+    g = m.astype(np.int8)
+    if not np.array_equal(g.astype(np.float64), m):
+        # non-integer dosages: store residual-exact centered floats via
+        # rounding-free fallback (center absorbs the fractional part only
+        # when dosages are integer; otherwise keep f32 matrix semantics)
+        raise ValueError(
+            "genotypes must be integer dosages (0/1/2); use from_float_array "
+            "for arbitrary real-valued covariate panels"
+        )
+    return MarkerData(genotypes=g, center=center, snp_ids=snp_ids, chr_ids=chr_ids)
+
+
+def from_float_array(m, snp_ids=None, chr_ids=None) -> MarkerData:
+    """Arbitrary real-valued marker panel: falls back to int8 quantization-free
+    storage by keeping a float genotype matrix. Center is still the column
+    mean. This path trades bandwidth for exactness."""
+    m = np.asarray(m, dtype=np.float32)
+    if snp_ids is None:
+        snp_ids = [f"M{i + 1}" for i in range(m.shape[1])]
+    center = m.mean(axis=0, dtype=np.float64)
+    md = MarkerData(genotypes=m, center=center, snp_ids=list(snp_ids), chr_ids=chr_ids)
+    return md
+
+
+def read_genotype_file(path: str, delim: str = " ", drop_missing=True) -> MarkerData:
+    """Space-delimited headerless genotype file (prepMatVec.jl:116)."""
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            rows.append([np.nan if t in ("NA", ".", "") else float(t) for t in line.split()])
+    return from_array(np.asarray(rows))
+
+
+def read_map_file(path: str):
+    """Map file with header `snpID,snpOrder,chrID` (misc.jl:167 expects these
+    columns; commas or whitespace accepted). Returns (snp_ids, chr_ids)."""
+    snp_ids, chr_ids = [], []
+    with open(path) as fh:
+        header = fh.readline().replace(",", " ").split()
+        cols = {c: i for i, c in enumerate(header)}
+        for line in fh:
+            parts = line.replace(",", " ").split()
+            if not parts:
+                continue
+            snp_ids.append(parts[cols.get("snpID", 0)])
+            chr_ids.append(int(float(parts[cols.get("chrID", 2)])))
+    return snp_ids, np.asarray(chr_ids)

@@ -1,0 +1,483 @@
+"""Planner: ModelSpec -> (static SweepPlan, device ModelState).
+
+This is the TPU-native re-design of `mme.getMME!`
+(`/root/reference/src/mme.jl:50-605`): all one-time precomputation (cross
+products, Gram blocks, summary-stat offsets, hyper-parameters, mixture and
+annotation state) happens here on the host in float64, then is frozen into
+a static `SweepPlan` (hashable jit constants) plus a `ModelState` pytree of
+device arrays. Defaults and magic numbers follow the reference exactly:
+
+  residual df = 4.0, scale = v*(df-2)/df, zero-variance guard 0.0005
+      (mme.jl:87-94)
+  missing random prior -> Random("I", 100)        (mme.jl:40-44)
+  Z/M df = 3 + dim(v); scalar scale = v*(df-2)/df, matrix v*(df-p-1)
+      (mme.jl:264-272, 492-506)
+  missing marker prior -> BayesPR whole-genome, scale base 0.05
+      (mme.jl:290, 324-329, 502-505)
+  fixed-effect ridge jitter I*min|diag|/10000 on multi-column blocks
+      (mme.jl:149-152)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..api import priors as P
+from ..api.spec import FixedTerm, MarkerTerm, ModelSpec, RandomTerm
+from ..data.regions import RegionInfo, build_regions
+from ..utils import cdiv, default_real_dtype
+from .state import (
+    CorrRandomState,
+    FixedState,
+    MarkerState,
+    ModelState,
+    RandomState,
+    ResidualState,
+)
+
+METHOD_PR = "BayesPR"
+METHOD_B = "BayesB"
+METHOD_C = "BayesC"
+METHOD_R = "BayesR"
+METHOD_RCPI = "BayesRCpi"
+METHOD_RCPLUS = "BayesRCplus"
+METHOD_LV = "BayesLV"
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedPlan:
+    name: Union[str, Tuple[str, ...]]
+    k: int
+    single: bool  # single-column path uses ss offsets (functions.jl:41-47)
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomPlan:
+    name: Union[str, Tuple[str, ...]]
+    q: int
+    df: float
+    correlated: bool
+    n_t: int
+
+
+@dataclasses.dataclass(frozen=True)
+class MarkerPlan:
+    name: str
+    method: str
+    p: int
+    p_pad: int
+    block: int
+    n_blocks: int
+    n_var: int  # len(var_beta)
+    n_regions: int  # PR region count (== n_var for PR)
+    n_classes: int
+    n_annot: int
+    est_pi: bool
+    est_var_zeta: Any  # False | True | float (BayesLV)
+    df: float
+    weighted: bool
+    n_lv_cov: int
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepPlan:
+    n: int
+    e_df: float
+    weighted: bool
+    fixed: Tuple[FixedPlan, ...]
+    random: Tuple[RandomPlan, ...]
+    markers: Tuple[MarkerPlan, ...]
+    dtype: str
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _ss_offsets(k, ss):
+    """Summary-statistic lhs/rhs offsets (mme.jl:144-147)."""
+    lhs = np.zeros(k)
+    rhs = np.zeros(k)
+    if ss is not None:
+        v = np.asarray(ss.v, dtype=np.float64)
+        m = np.asarray(ss.m, dtype=np.float64)
+        v = np.diag(v) if v.ndim == 2 else np.broadcast_to(v, (k,))
+        m = np.broadcast_to(m, (k,))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lhs = 1.0 / v
+            rhs = lhs * m
+    return lhs, rhs
+
+
+def _marker_ss_offsets(k, ss):
+    """Marker variant with Inf/NaN guards (mme.jl:319-321)."""
+    lhs, rhs = _ss_offsets(k, ss)
+    lhs[np.isinf(lhs)] = 0.0
+    rhs[np.isnan(rhs)] = 0.0
+    return lhs, rhs
+
+
+def _blockify(a, p_pad, nb, block, fill=0.0, dtype=None):
+    a = np.asarray(a)
+    pad = p_pad - a.shape[0]
+    if pad:
+        a = np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+    a = a.reshape((nb, block) + a.shape[1:])
+    return a if dtype is None else a.astype(dtype)
+
+
+def _build_fixed(term_mats, name, d_inv, ss, dtype):
+    """Cross-products + jitter for one fixed block (mme.jl:132-153)."""
+    x = np.concatenate([m for m in term_mats], axis=1)
+    k = x.shape[1]
+    if d_inv is not None:
+        xp = (x * d_inv[:, None]).T
+    else:
+        xp = x.T
+    xpx = xp @ x
+    lhs, rhs = _ss_offsets(k, ss)
+    if k > 1:  # reference jitters only Matrix xpx (mme.jl:149-152)
+        xpx = xpx + np.eye(k) * np.min(np.abs(np.diag(xpx))) / 10000.0
+    return FixedState(
+        x=jnp.asarray(x, dtype),
+        xp=jnp.asarray(xp, dtype),
+        xpx=jnp.asarray(xpx, dtype),
+        lhs_ss=jnp.asarray(lhs, dtype),
+        rhs_ss=jnp.asarray(rhs, dtype),
+        b=jnp.zeros((k,), dtype),
+    ), FixedPlan(name=name, k=k, single=(k == 1))
+
+
+def _scale_for(v, df):
+    """Prior scale from variance + df (mme.jl:269-271, 498-505)."""
+    v = np.asarray(v, dtype=np.float64)
+    if v.ndim == 2:
+        nc = v.shape[0]
+        return v * (df - nc - 1.0)
+    return float(v) * (df - 2.0) / df
+
+
+def _df_for(v):
+    v = np.asarray(v, dtype=np.float64)
+    return 3.0 + (v.shape[0] if v.ndim == 2 else 1.0)
+
+
+def _build_random(term: RandomTerm, d_inv, dtype):
+    prior = term.prior or P.RandomEffect("I", 100.0)
+    v = prior.v
+    if term.correlated:
+        zs = tuple(np.asarray(z, dtype=np.float64) for z in term.z)
+        n_t = len(zs)
+        q = zs[0].shape[1]
+        df = _df_for(v)
+        vmat = np.asarray(v, dtype=np.float64)
+        if vmat.ndim != 2 or vmat.shape != (n_t, n_t):
+            raise ValueError("correlated random effect needs an nT x nT prior v")
+        scale = _scale_for(vmat, df)
+        zstack = np.stack(zs)  # (nT, n, q)
+        zpz = np.einsum("tnl,unl->ltu", zstack, zstack)
+        ivstr = term.ivstr if term.ivstr is not None else np.eye(q)
+        st = CorrRandomState(
+            zs=jnp.asarray(zstack, dtype),
+            zpz=jnp.asarray(zpz, dtype),
+            ivstr=jnp.asarray(ivstr, dtype),
+            u=jnp.zeros((n_t, q), dtype),
+            var_u=jnp.asarray(vmat, dtype),
+            scale=jnp.asarray(scale, dtype),
+        )
+        return st, RandomPlan(term.name, q, float(df), True, n_t)
+    z = np.asarray(term.z, dtype=np.float64)
+    q = z.shape[1]
+    df = _df_for(v)
+    scale = _scale_for(v, df)
+    zp = (z * d_inv[:, None]).T if d_inv is not None else z.T
+    zpz = np.einsum("nq,nq->q", z * (d_inv[:, None] if d_inv is not None else 1.0), z)
+    ivstr = term.ivstr if term.ivstr is not None else np.eye(q)
+    st = RandomState(
+        z=jnp.asarray(z, dtype),
+        zp=jnp.asarray(zp, dtype),
+        zpz=jnp.asarray(zpz, dtype),
+        ivstr=jnp.asarray(ivstr, dtype),
+        u=jnp.zeros((q,), dtype),
+        var_u=jnp.asarray(float(v), dtype),
+        scale=jnp.asarray(scale, dtype),
+    )
+    return st, RandomPlan(term.name, q, float(df), False, 1)
+
+
+def _method_of(prior):
+    if prior is None or isinstance(prior, P.BayesPR):
+        return METHOD_PR
+    return {
+        P.BayesB: METHOD_B,
+        P.BayesC: METHOD_C,
+        P.BayesR: METHOD_R,
+        P.BayesRCpi: METHOD_RCPI,
+        P.BayesRCplus: METHOD_RCPLUS,
+        P.BayesLV: METHOD_LV,
+    }[type(prior)]
+
+
+def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng):
+    md = term.data
+    prior = term.prior
+    method = _method_of(prior)
+    n, p = md.n_ind, md.n_snp
+    block = min(block, max(8, 1 << (p - 1).bit_length()))  # don't over-pad tiny sets
+    p_pad = cdiv(p, block) * block
+    nb = p_pad // block
+
+    g = md.genotypes  # (n, p) int8 or f32
+    center = md.center.astype(np.float64)
+
+    # blocked transposed storage
+    mt = _blockify(np.ascontiguousarray(g.T), p_pad, nb, block)
+    center_b = _blockify(center, p_pad, nb, block, dtype=dtype)
+
+    # centered Gram blocks (+ raw variant when residual is weighted)
+    gram = np.empty((nb, block, block))
+    gram_raw = np.empty((nb, block, block)) if d_inv is not None else None
+    gt = g.astype(np.float64)
+    for b in range(nb):
+        sl = slice(b * block, min((b + 1) * block, p))
+        mc = gt[:, sl] - center[None, sl]
+        nbk = mc.shape[1]
+        gr = np.zeros((block, block))
+        if d_inv is not None:
+            gr[:nbk, :nbk] = mc.T @ (d_inv[:, None] * mc)
+            grr = np.zeros((block, block))
+            grr[:nbk, :nbk] = mc.T @ mc
+            gram_raw[b] = grr
+        else:
+            gr[:nbk, :nbk] = mc.T @ mc
+        gram[b] = gr
+    mpm = np.einsum("bii->bi", gram).copy()
+
+    lhs, rhs = _marker_ss_offsets(p, ss)
+    mask = np.zeros(p_pad, bool)
+    mask[:p] = True
+
+    # region / variance bookkeeping per method (mme.jl:331-441)
+    est_pi = bool(getattr(prior, "estimatePi", False))
+    n_classes = 0
+    n_annot = 0
+    log_pi = pi_hat = v_class = None
+    annot_input = annot_prob = annot_nz = annot_cat = None
+    log_var = lv_design = lv_icpc = lv_icpc_chol = lv_c = lv_resid = var_zeta = None
+    est_var_zeta = False
+    n_lv_cov = 0
+
+    if prior is None:
+        df = 4.0
+        scale = 0.05 * (df - 2.0) / df
+        v0 = 0.05
+    else:
+        df = float(_df_for(prior.v))
+        scale = _scale_for(prior.v, df)
+        v0 = float(np.asarray(prior.v).reshape(-1)[0]) if np.ndim(prior.v) else float(prior.v)
+
+    if method == METHOD_PR:
+        r = prior.r if prior is not None else 9999
+        info = build_regions(p, r, md.chr_ids)
+        region_id = np.concatenate([info.region_id, np.full(p_pad - p, info.n_regions, np.int32)])
+        n_var = n_regions = info.n_regions
+        var_beta = np.full(n_var, v0)
+    elif method in (METHOD_B, METHOD_LV):
+        region_id = np.arange(p_pad, dtype=np.int32)
+        n_var = n_regions = p_pad
+        var_beta = np.zeros(p_pad)
+        var_beta[:p] = v0
+    elif method == METHOD_C:
+        region_id = np.zeros(p_pad, np.int32)
+        n_var = n_regions = 1
+        var_beta = np.full(1, v0)
+    elif method == METHOD_R:
+        region_id = np.zeros(p_pad, np.int32)
+        n_var = n_regions = 1
+        var_beta = np.full(1, v0)
+    else:  # RCpi / RCplus
+        region_id = np.zeros(p_pad, np.int32)
+        annot = P.normalize_annot(prior.annot)
+        n_annot = annot.shape[1]
+        n_var = n_regions = n_annot
+        var_beta = np.full(n_annot, v0)
+
+    if method in (METHOD_B, METHOD_C):
+        pi = float(prior.pi)
+        log_pi = np.log(np.array([1.0 - pi, pi]))
+        pi_hat = np.array([1.0 - pi, pi])
+        v_class = np.array([0.0, 1.0])
+        n_classes = 2
+    elif method == METHOD_R:
+        pi = np.asarray(prior.pi, dtype=np.float64)
+        log_pi = np.log(pi)
+        pi_hat = pi.copy()
+        v_class = np.asarray(prior.class_, dtype=np.float64)
+        n_classes = len(v_class)
+    elif method in (METHOD_RCPI, METHOD_RCPLUS):
+        pi = np.asarray(prior.pi, dtype=np.float64)
+        v_class = np.asarray(prior.class_, dtype=np.float64)
+        n_classes = len(v_class)
+        log_pi = np.tile(np.log(pi), (n_annot, 1))
+        pi_hat = np.tile(pi, (n_annot, 1))
+        annot = P.normalize_annot(prior.annot).astype(np.float64)
+        annot_input = _blockify(annot, p_pad, nb, block).reshape(p_pad, n_annot)
+        with np.errstate(invalid="ignore"):
+            ap = annot / annot.sum(axis=1, keepdims=True)
+        annot_prob = _blockify(ap, p_pad, nb, block).reshape(p_pad, n_annot)
+        annot_nz = annot_input != 0
+        annot_cat = np.zeros(p_pad, np.int32)
+    elif method == METHOD_LV:
+        C = np.asarray(prior.covariates, dtype=np.float64)
+        if C.ndim == 1:
+            C = C[:, None]
+        if C.shape[0] != p:
+            raise ValueError("BayesLV covariates must have nSNP rows")
+        n_lv_cov = C.shape[1]
+        icpc = C.T @ C
+        if n_lv_cov > 1:
+            icpc += np.eye(n_lv_cov) * np.min(np.abs(np.diag(icpc))) / 10000.0
+        icpc = np.linalg.inv(icpc)
+        log_var = np.full(p_pad, np.log(v0))
+        log_var[p:] = 0.0
+        lv_design = _blockify(C, p_pad, nb, block).reshape(p_pad, n_lv_cov)
+        lv_icpc = icpc
+        lv_icpc_chol = np.linalg.cholesky((icpc + icpc.T) / 2.0)
+        # reference inits c and SNPVARRESID from the global RNG (mme.jl:429-430);
+        # we use a fixed host rng for reproducibility.
+        lv_c = rng.uniform(size=n_lv_cov)
+        lv_resid = np.zeros(p_pad)
+        lv_resid[:p] = rng.uniform(size=p)
+        var_zeta = float(prior.varZeta)
+        est_var_zeta = prior.estimateVarZeta
+
+    def dev(a, dt=dtype):
+        return None if a is None else jnp.asarray(a, dt)
+
+    ms = MarkerState(
+        mt=jnp.asarray(mt),  # keep int8 (or f32) storage dtype
+        center=jnp.asarray(center_b, dtype),
+        gram=jnp.asarray(gram, dtype),
+        gram_raw=dev(gram_raw),
+        mpm=jnp.asarray(mpm, dtype),
+        lhs_ss=jnp.asarray(_blockify(lhs, p_pad, nb, block), dtype),
+        rhs_ss=jnp.asarray(_blockify(rhs, p_pad, nb, block), dtype),
+        mask=jnp.asarray(_blockify(mask, p_pad, nb, block)),
+        region_id=jnp.asarray(region_id),
+        beta=jnp.zeros((p_pad,), dtype),
+        delta=jnp.ones((p_pad,), jnp.int32),
+        var_beta=dev(var_beta),
+        scale=jnp.asarray(scale, dtype),
+        log_pi=dev(log_pi),
+        pi_hat=dev(pi_hat),
+        v_class=dev(v_class),
+        annot_input=dev(annot_input),
+        annot_prob=dev(annot_prob),
+        annot_nz=None if annot_nz is None else jnp.asarray(annot_nz),
+        annot_cat=None if annot_cat is None else jnp.asarray(annot_cat),
+        log_var=dev(log_var),
+        lv_design=dev(lv_design),
+        lv_icpc=dev(lv_icpc),
+        lv_icpc_chol=dev(lv_icpc_chol),
+        lv_c=dev(lv_c),
+        lv_resid=dev(lv_resid),
+        var_zeta=dev(var_zeta),
+    )
+    mp = MarkerPlan(
+        name=term.name,
+        method=method,
+        p=p,
+        p_pad=p_pad,
+        block=block,
+        n_blocks=nb,
+        n_var=n_var,
+        n_regions=n_regions,
+        n_classes=n_classes,
+        n_annot=n_annot,
+        est_pi=est_pi,
+        est_var_zeta=est_var_zeta if not isinstance(est_var_zeta, np.floating) else float(est_var_zeta),
+        df=df,
+        weighted=d_inv is not None,
+        n_lv_cov=n_lv_cov,
+    )
+    return ms, mp
+
+
+def assemble(spec: ModelSpec, dtype=None, block_size: Optional[int] = None):
+    """Build (SweepPlan, ModelState) from a validated ModelSpec."""
+    spec.validate()
+    dtype = jnp.dtype(dtype or default_real_dtype())
+    rng = np.random.default_rng(20240509)
+
+    y = np.asarray(spec.y, dtype=np.float64).ravel()
+    n = y.size
+
+    # residual setup (mme.jl:62-94)
+    res_prior = spec.residual or P.RandomEffect("I", 100.0)
+    d_inv = None
+    if isinstance(res_prior.str_, (list, np.ndarray)) and not isinstance(res_prior.str_, str):
+        d_inv = 1.0 / np.asarray(res_prior.str_, dtype=np.float64)
+    e_df = 4.0
+    ev = float(res_prior.v)
+    e_scale = 0.0005 if ev == 0.0 else ev * (e_df - 2.0) / e_df
+
+    # fixed effects with user blocking (mme.jl:98-126)
+    blocked = set()
+    fixed_states, fixed_plans = [], []
+    by_name = {t.name: t for t in spec.fixed}
+    for blk in spec.blocks:
+        mats = [by_name[nm].matrix() for nm in blk]
+        ss = spec.summary_stats.get(tuple(blk))
+        st, pl = _build_fixed(mats, tuple(blk), d_inv, ss, dtype)
+        fixed_states.append(st)
+        fixed_plans.append(pl)
+        blocked.update(blk)
+    for t in spec.fixed:
+        if t.name in blocked:
+            continue
+        st, pl = _build_fixed([t.matrix()], t.name, d_inv, spec.summary_stats.get(t.name), dtype)
+        fixed_states.append(st)
+        fixed_plans.append(pl)
+
+    random_states, random_plans = [], []
+    for t in spec.random:
+        st, pl = _build_random(t, d_inv, dtype)
+        random_states.append(st)
+        random_plans.append(pl)
+
+    marker_states, marker_plans = [], []
+    bs = block_size or spec.block_size
+    for t in spec.markers:
+        st, pl = _build_marker(t, d_inv, spec.summary_stats.get(t.name), bs, dtype, rng)
+        marker_states.append(st)
+        marker_plans.append(pl)
+
+    state = ModelState(
+        y=jnp.asarray(y, dtype),
+        ycorr=jnp.asarray(y, dtype),
+        e=ResidualState(
+            scale=jnp.asarray(e_scale, dtype),
+            d_inv=None if d_inv is None else jnp.asarray(d_inv, dtype),
+            var_e=jnp.asarray(ev if ev > 0 else 0.0005, dtype),
+        ),
+        fixed=tuple(fixed_states),
+        random=tuple(random_states),
+        markers=tuple(marker_states),
+        sweep_index=jnp.asarray(0, jnp.int32),
+    )
+    plan = SweepPlan(
+        n=n,
+        e_df=e_df,
+        weighted=d_inv is not None,
+        fixed=tuple(fixed_plans),
+        random=tuple(random_plans),
+        markers=tuple(marker_plans),
+        dtype=str(dtype),
+    )
+    return plan, state

@@ -1,0 +1,545 @@
+"""Blocked single-site Gibbs for marker effects — all Bayesian-alphabet
+methods (sampleBayesPR!/B!/C!/R!/RCpi!/RCplus!/LV!, functions.jl:118-486).
+
+The re-architecture (SURVEY.md §7.4, hard part #1): the reference's per-locus
+loop touches the n-vector ycorr three times per locus (axpy-in, dot,
+axpy-out — functions.jl:128-133), which is sequential BLAS-1. Here each
+block of B loci interacts with ycorr only twice per block via matrix
+products (MXU work):
+
+    r0 = Mc_blk @ ycorr                    # before the block
+    ycorr += u @ Mc_blk                    # after the block
+
+while the exact per-locus chain dependency is preserved through the block's
+centered Gram matrix G = Mc_blk Mc_blk'. Maintaining u = beta_old - beta_cur
+(zero for unprocessed loci), the residual dot the reference computes *after
+restoring locus j* equals
+
+    m_j' ycorr_current = r0[j] + G[j, :] @ u     with u[j] set to beta_old[j]
+
+so the in-block scan reproduces the reference's sequential update order
+bit-for-bit in exact arithmetic. Weighted residuals ("D") carry a second,
+unweighted Gram for BayesB/C's raw indicator dot (functions.jl:168,208 use
+the plain dot even when rhs is weighted).
+
+All randomness is pre-generated per sweep from counter-based keys
+(engine/rng.py) and consumed positionally, so the pure-JAX path, the Pallas
+kernel path and the NumPy golden oracle share identical streams.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...ops.dists import categorical_from_probs, sample_beta_dist, sample_dirichlet
+from ...utils import replace
+from ..plan import (
+    METHOD_B,
+    METHOD_C,
+    METHOD_LV,
+    METHOD_PR,
+    METHOD_R,
+    METHOD_RCPI,
+    METHOD_RCPLUS,
+    MarkerPlan,
+)
+
+
+# ------------------------------------------------------------------ core scan
+
+
+def _block_scan(gram_b, gram_raw_b, r0, r0_raw, beta_old_b, locus_xs, locus_fn, dtype):
+    """Sequential in-block scan. locus_fn(pre, pre_raw, bold, lx) -> (bnew, out)."""
+    B = r0.shape[0]
+
+    def body(u, xs):
+        j, grow, graw, r0j, r0rj, bold, lx = xs
+        u = u.at[j].set(bold)
+        pre = r0j + grow @ u
+        pre_raw = r0rj + graw @ u if graw is not None else pre
+        bnew, out = locus_fn(pre, pre_raw, bold, lx)
+        u = u.at[j].set(bold - bnew)
+        return u, (bnew, out)
+
+    xs = (jnp.arange(B), gram_b,
+          gram_raw_b if gram_raw_b is not None else jnp.zeros((B, 0), dtype),
+          r0, r0_raw if r0_raw is not None else jnp.zeros((B,), dtype),
+          beta_old_b, locus_xs)
+
+    def body_wrap(u, xs):
+        j, grow, graw, r0j, r0rj, bold, lx = xs
+        graw_eff = graw if gram_raw_b is not None else None
+        r0rj_eff = r0rj if gram_raw_b is not None else None
+        return body(u, (j, grow, graw_eff, r0j, r0rj_eff, bold, lx))
+
+    u0 = jnp.zeros((B,), dtype)
+    u, (beta_new, outs) = lax.scan(body_wrap, u0, xs)
+    return u, beta_new, outs
+
+
+def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw):
+    """Outer scan over marker blocks; carries ycorr."""
+
+    def block_body(ycorr, xs):
+        mtb, cb, gramb, grawb, beta_old_b, lxs = xs
+        mtf = mtb.astype(dtype)
+        if d_inv is not None:
+            yw = d_inv * ycorr
+            r0 = mtf @ yw - cb * jnp.sum(yw)
+            r0_raw = (mtf @ ycorr - cb * jnp.sum(ycorr)) if need_raw else None
+        else:
+            r0 = mtf @ ycorr - cb * jnp.sum(ycorr)
+            r0_raw = None
+        u, beta_new_b, outs = _block_scan(
+            gramb, grawb if (d_inv is not None and need_raw) else None,
+            r0, r0_raw, beta_old_b, lxs, locus_fn, dtype)
+        ycorr = ycorr + u @ mtf - jnp.dot(u, cb)
+        return ycorr, (beta_new_b, outs)
+
+    graw = ms.gram_raw if ms.gram_raw is not None else ms.gram
+    xs = (ms.mt, ms.center, ms.gram, graw,
+          ms.beta.reshape(ms.mpm.shape), locus_xs)
+    ycorr, (beta_new, outs) = lax.scan(block_body, ycorr, xs)
+    return ycorr, beta_new.reshape(-1), outs
+
+
+def _chi2(key, half_df_times2):
+    return 2.0 * jax.random.gamma(key, jnp.asarray(half_df_times2) / 2.0)
+
+
+def _blockify_dev(a, nb, B):
+    return a.reshape((nb, B) + a.shape[1:])
+
+
+# ------------------------------------------------------------------ BayesPR
+
+
+def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+    """sampleBayesPR! (functions.jl:118-137)."""
+    dtype = ycorr.dtype
+    kz, kv = jax.random.split(key)
+    nb, B = mp.n_blocks, mp.block
+    z = jax.random.normal(kz, (mp.p_pad,), dtype)
+    ivb = jnp.where(ms.var_beta > 0, 1.0 / ms.var_beta, jnp.inf)
+    ivb_locus = ivb[jnp.clip(ms.region_id, 0, mp.n_var - 1)]
+    ive = 1.0 / var_e
+
+    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, ivb_locus)) + (
+        ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
+
+    def locus_fn(pre, pre_raw, bold, lx):
+        zj, ivbj, mpmj, lssj, rssj, maskj = lx
+        rhs = pre * ive + rssj
+        lhs = mpmj * ive + lssj + ivbj
+        bnew = rhs / lhs + zj * jnp.sqrt(1.0 / lhs)
+        return jnp.where(maskj, bnew, 0.0), None
+
+    ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False)
+
+    # region variance update (functions.jl:135, sampleVarBetaPR :509-511)
+    ss = jax.ops.segment_sum(beta * beta, ms.region_id, num_segments=mp.n_var + 1)[: mp.n_var]
+    region_sizes = jax.ops.segment_sum(
+        ms.mask.reshape(-1).astype(dtype), ms.region_id, num_segments=mp.n_var + 1
+    )[: mp.n_var]
+    chi = _chi2(kv, mp.df + region_sizes)
+    var_beta = (ms.scale * mp.df + ss) / chi
+    return replace(ms, beta=beta, var_beta=var_beta.astype(dtype)), ycorr
+
+
+# ------------------------------------------------------------------ BayesB / BayesC
+
+
+def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool):
+    """sampleBayesB! (functions.jl:157-195) / sampleBayesC! (:197-236)."""
+    dtype = ycorr.dtype
+    kz, ku, kv, kp = jax.random.split(key, 4)
+    nb, B = mp.n_blocks, mp.block
+    z = jax.random.normal(kz, (mp.p_pad,), dtype)
+    unif = jax.random.uniform(ku, (mp.p_pad,), dtype)
+    ive = 1.0 / var_e
+    lp0, lp1 = ms.log_pi[0], ms.log_pi[1]
+
+    if common:
+        vb_locus = jnp.full((mp.p_pad,), ms.var_beta[0], dtype)
+    else:
+        vb_locus = ms.var_beta.astype(dtype)
+    ivb_locus = jnp.where(vb_locus > 0, 1.0 / vb_locus, jnp.inf)
+
+    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, unif, vb_locus, ivb_locus)) + (
+        ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
+
+    def locus_fn(pre, pre_raw, bold, lx):
+        zj, uj, vbj, ivbj, mpmj, lssj, rssj, maskj = lx
+        mpm_safe = jnp.where(maskj, mpmj, 1.0)
+        rrr = pre_raw
+        v0 = mpm_safe * var_e
+        v1 = mpm_safe * mpm_safe * vbj + v0
+        ld0 = -0.5 * (jnp.log(v0) + rrr * rrr / v0) + lp0
+        ld1 = -0.5 * (jnp.log(v1) + rrr * rrr / v1) + lp1
+        p1 = 1.0 / (1.0 + jnp.exp(ld0 - ld1))
+        inc = uj < p1
+        rhs = pre * ive + (0.0 if common else rssj)  # BayesC omits rhs_ss (functions.jl:219)
+        lhs = mpm_safe * ive + lssj + ivbj
+        b_inc = rhs / lhs + zj * jnp.sqrt(1.0 / lhs)
+        bnew = jnp.where(inc & maskj, b_inc, 0.0)
+        return bnew, (inc & maskj)
+
+    ycorr, beta, inc = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, True)
+    delta = inc.reshape(-1).astype(jnp.int32)
+    n_in = jnp.sum(delta)
+
+    if common:
+        ss = jnp.dot(beta, beta)  # all loci incl. zeros (functions.jl:230)
+        var_beta = ((ms.scale * mp.df + ss) / _chi2(kv, mp.df + n_in)).reshape(1)
+    else:
+        chi = _chi2(kv, jnp.full((mp.p_pad,), mp.df + 1.0))
+        vb = (ms.scale * mp.df + beta * beta) / chi  # per-locus (functions.jl:182)
+        var_beta = jnp.where(delta == 1, vb, 0.0)
+
+    out = replace(ms, beta=beta, delta=delta, var_beta=var_beta.astype(ms.var_beta.dtype))
+    if mp.est_pi:  # samplePi Beta(nIn+1, nTotal-nIn+1) (functions.jl:531-533)
+        pi_in = sample_beta_dist(kp, n_in + 1.0, mp.p - n_in + 1.0)
+        pi_hat = jnp.stack([1.0 - pi_in, pi_in]).astype(dtype)
+        out = replace(out, pi_hat=pi_hat, log_pi=jnp.log(pi_hat))
+    return out, ycorr
+
+
+# ------------------------------------------------------------------ BayesR
+
+
+def _sweep_r(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+    """sampleBayesR! (functions.jl:238-289)."""
+    dtype = ycorr.dtype
+    kz, ku, kv, kp = jax.random.split(key, 4)
+    nb, B = mp.n_blocks, mp.block
+    K = mp.n_classes
+    z = jax.random.normal(kz, (mp.p_pad,), dtype)
+    unif = jax.random.uniform(ku, (mp.p_pad,), dtype)
+    ive = 1.0 / var_e
+    varc = ms.var_beta[0] * ms.v_class  # (K,) (functions.jl:244)
+    log_pi = ms.log_pi
+
+    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, unif)) + (
+        ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
+
+    def locus_fn(pre, pre_raw, bold, lx):
+        zj, uj, mpmj, lssj, rssj, maskj = lx
+        mpm_safe = jnp.where(maskj, mpmj, 1.0)
+        rhs = pre * ive + rssj
+        nz = varc > 0
+        lhs_v = jnp.where(nz, mpm_safe * ive + lssj + 1.0 / jnp.where(nz, varc, 1.0), 0.0)
+        logl = jnp.where(
+            nz,
+            -0.5 * (jnp.log(jnp.where(nz, varc * lhs_v, 1.0)) - rhs * rhs / jnp.where(nz, lhs_v, 1.0)),
+            0.0,
+        ) + log_pi
+        logl = logl - jnp.max(logl)  # stabilized; probs invariant
+        expl = jnp.exp(logl)
+        probs = expl / jnp.sum(expl)
+        cls = categorical_from_probs(uj, probs)
+        lhs_sel = lhs_v[cls]
+        sel_nz = varc[cls] > 0
+        b_inc = rhs / lhs_sel + zj * jnp.sqrt(1.0 / lhs_sel)
+        bnew = jnp.where(sel_nz & maskj, b_inc, 0.0)
+        delta = jnp.where(maskj, cls + 1, 0)
+        return bnew, delta.astype(jnp.int32)
+
+    ycorr, beta, delta_b = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False)
+    delta = delta_b.reshape(-1)
+    cls0 = jnp.clip(delta - 1, 0, K - 1)
+    vsel = ms.v_class[cls0]
+    active = (delta > 0) & (vsel > 0)
+    sum_s = jnp.sum(jnp.where(active, beta * beta / jnp.where(active, vsel, 1.0), 0.0))
+    n_nz = jnp.sum(active)
+    var_beta = ((ms.scale * mp.df + sum_s) / _chi2(kv, mp.df + n_nz)).reshape(1)
+
+    out = replace(ms, beta=beta, delta=delta, var_beta=var_beta.astype(ms.var_beta.dtype))
+    if mp.est_pi:  # Dirichlet(nLoci .+ 1) (functions.jl:536-538)
+        counts = jnp.sum(
+            (delta[:, None] == jnp.arange(1, K + 1)[None, :]).astype(dtype), axis=0
+        )
+        pi_hat = sample_dirichlet(kp, counts + 1.0).astype(dtype)
+        out = replace(out, pi_hat=pi_hat, log_pi=jnp.log(pi_hat))
+    return out, ycorr
+
+
+# ------------------------------------------------------------------ BayesRCpi
+
+
+def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+    """sampleBayesRCpi! (functions.jl:291-360)."""
+    dtype = ycorr.dtype
+    kz, kua, kuv, kg1, kg2, kv, kp = jax.random.split(key, 7)
+    nb, B = mp.n_blocks, mp.block
+    nA, K = mp.n_annot, mp.n_classes
+    z = jax.random.normal(kz, (mp.p_pad,), dtype)
+    unif_a = jax.random.uniform(kua, (mp.p_pad,), dtype)
+    unif_v = jax.random.uniform(kuv, (mp.p_pad,), dtype)
+    # pre-generated Dirichlet gammas for sampleProb (functions.jl:541-544):
+    # alpha = annotInput (+1 at the sampled annotation)
+    a_in = ms.annot_input
+    g1 = jax.random.gamma(kg1, jnp.maximum(a_in, 1e-6)).astype(dtype)
+    g2 = jax.random.gamma(kg2, a_in + 1.0).astype(dtype)
+    ive = 1.0 / var_e
+    varc = ms.var_beta[:, None] * ms.v_class[None, :]  # (nA, K)
+    log_pi = ms.log_pi  # (nA, K)
+    nzc = varc > 0
+
+    lxs = tuple(
+        _blockify_dev(a, nb, B)
+        for a in (z, unif_a, unif_v, g1, g2, ms.annot_prob, ms.annot_nz)
+    ) + (ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
+
+    def locus_fn(pre, pre_raw, bold, lx):
+        zj, uaj, uvj, g1j, g2j, aprobj, anzj, mpmj, lssj, rssj, maskj = lx
+        mpm_safe = jnp.where(maskj, mpmj, 1.0)
+        rhs = pre * ive + rssj
+        lhs_av = jnp.where(nzc, mpm_safe * ive + lssj + 1.0 / jnp.where(nzc, varc, 1.0), 0.0)
+        logl = jnp.where(
+            nzc,
+            -0.5 * (jnp.log(jnp.where(nzc, varc * lhs_av, 1.0)) - rhs * rhs / jnp.where(nzc, lhs_av, 1.0)),
+            0.0,
+        ) + log_pi
+        logl = logl - jnp.max(logl)  # one global shift; annot & class probs invariant
+        expl = jnp.where(anzj[:, None], jnp.exp(logl), 0.0)  # only non-zero annots (functions.jl:307)
+        rowsum = jnp.sum(expl, axis=1)
+        pa = aprobj * rowsum
+        pa = pa / jnp.sum(pa)
+        a_sel = categorical_from_probs(uaj, pa)
+        onehot_a = jnp.arange(nA) == a_sel
+        gam = jnp.where(onehot_a, g2j, g1j) * anzj.astype(dtype)
+        aprob_new = gam / jnp.sum(gam)
+        aprob_new = jnp.where(maskj, aprob_new, aprobj)
+        row = expl[a_sel]
+        pv = row / jnp.sum(row)
+        cls = categorical_from_probs(uvj, pv)
+        lhs_sel = lhs_av[a_sel, cls]
+        sel_nz = varc[a_sel, cls] > 0
+        bnew = jnp.where(sel_nz & maskj, rhs / lhs_sel + zj * jnp.sqrt(1.0 / lhs_sel), 0.0)
+        delta = jnp.where(maskj, cls + 1, 0).astype(jnp.int32)
+        acat = jnp.where(maskj, a_sel + 1, 0).astype(jnp.int32)
+        return bnew, (delta, acat, aprob_new)
+
+    ycorr, beta, outs = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False)
+    delta = outs[0].reshape(-1)
+    acat = outs[1].reshape(-1)
+    annot_prob = outs[2].reshape(mp.p_pad, nA)
+
+    cls0 = jnp.clip(delta - 1, 0, K - 1)
+    a0 = jnp.clip(acat - 1, 0, nA - 1)
+    vsel = ms.v_class[cls0]
+    active = (delta > 0) & (vsel > 0)
+    contrib = jnp.where(active, beta * beta / jnp.where(active, vsel, 1.0), 0.0)
+    onehot_a = (a0[:, None] == jnp.arange(nA)[None, :]) & (acat > 0)[:, None]
+    sum_s = jnp.sum(jnp.where(onehot_a, contrib[:, None], 0.0), axis=0)  # (nA,)
+    n_nz = jnp.sum(onehot_a & active[:, None], axis=0)
+    chi = _chi2(kv, mp.df + n_nz)
+    var_beta = (ms.scale * mp.df + sum_s) / chi
+
+    out = replace(
+        ms, beta=beta, delta=delta, annot_cat=acat, annot_prob=annot_prob,
+        var_beta=var_beta.astype(ms.var_beta.dtype),
+    )
+    if mp.est_pi:  # per-annotation Dirichlet over class counts (functions.jl:352-357)
+        joint = (
+            onehot_a[:, :, None]
+            & (cls0[:, None, None] == jnp.arange(K)[None, None, :])
+            & (delta > 0)[:, None, None]
+        )
+        counts = jnp.sum(joint, axis=0).astype(dtype)  # (nA, K)
+        pi_hat = sample_dirichlet(kp, counts + 1.0).astype(dtype)
+        out = replace(out, pi_hat=pi_hat, log_pi=jnp.log(pi_hat))
+    return out, ycorr
+
+
+# ------------------------------------------------------------------ BayesRCplus
+
+
+def _sweep_rcplus(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+    """sampleBayesRCplus! (functions.jl:362-419): every non-zero annotation
+    contributes an additive component to the locus effect; rhs is recomputed
+    after each component since ycorr shifts (functions.jl:379,400)."""
+    dtype = ycorr.dtype
+    kz, ku, kv, kp = jax.random.split(key, 4)
+    nb, B = mp.n_blocks, mp.block
+    nA, K = mp.n_annot, mp.n_classes
+    z = jax.random.normal(kz, (mp.p_pad, nA), dtype)
+    unif = jax.random.uniform(ku, (mp.p_pad, nA), dtype)
+    ive = 1.0 / var_e
+    varc = ms.var_beta[:, None] * ms.v_class[None, :]  # (nA, K)
+    log_pi = ms.log_pi
+    nzc = varc > 0
+
+    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, unif, ms.annot_nz)) + (
+        ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
+
+    def block_body(ycorr, xs):
+        mtb, cb, gramb, beta_old_b, lx = xs
+        mtf = mtb.astype(dtype)
+        if d_inv is not None:
+            yw = d_inv * ycorr
+            r0 = mtf @ yw - cb * jnp.sum(yw)
+        else:
+            r0 = mtf @ ycorr - cb * jnp.sum(ycorr)
+
+        def body(u, xsj):
+            j, grow, r0j, bold, (zj, uj, anzj, mpmj, lssj, rssj, maskj) = xsj
+            u = u.at[j].set(0.0)
+            base = r0j + grow @ u  # rhs dot with own coefficient excluded
+            gjj = grow[j]
+            mpm_safe = jnp.where(maskj, mpmj, 1.0)
+
+            def annot_step(carry, ax):
+                uj_c, temp_beta, delta_c = carry
+                varc_a, log_pi_a, za, ua, anz_a = ax
+                rhs = (base + gjj * uj_c) * ive + rssj
+                nz = varc_a > 0
+                lhs_v = jnp.where(nz, mpm_safe * ive + lssj + 1.0 / jnp.where(nz, varc_a, 1.0), 0.0)
+                logl = jnp.where(
+                    nz,
+                    -0.5 * (jnp.log(jnp.where(nz, varc_a * lhs_v, 1.0)) - rhs * rhs / jnp.where(nz, lhs_v, 1.0)),
+                    0.0,
+                ) + log_pi_a
+                logl = logl - jnp.max(logl)
+                expl = jnp.exp(logl)
+                cls = categorical_from_probs(ua, expl / jnp.sum(expl))
+                active = anz_a & maskj
+                sel_nz = nz[cls] & active
+                lhs_sel = lhs_v[cls]
+                bs = jnp.where(sel_nz, rhs / lhs_sel + za * jnp.sqrt(1.0 / lhs_sel), 0.0)
+                uj_c = uj_c - bs
+                temp_beta = temp_beta + bs
+                delta_c = jnp.where(active, cls + 1, delta_c).astype(jnp.int32)
+                return (uj_c, temp_beta, delta_c), (
+                    jnp.where(active, cls + 1, 0).astype(jnp.int32), bs, sel_nz)
+
+            init = (bold, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
+            (ujf, bnew, delta_j), (cls_a, bs_a, nz_a) = lax.scan(
+                annot_step, init, (varc, log_pi, zj, uj, anzj))
+            u = u.at[j].set(ujf)
+            return u, (bnew, delta_j, cls_a, bs_a, nz_a)
+
+        B_ = r0.shape[0]
+        u0 = jnp.zeros((B_,), dtype)
+        u, outs = lax.scan(body, u0, (jnp.arange(B_), gramb, r0, beta_old_b, lx))
+        ycorr = ycorr + u @ mtf - jnp.dot(u, cb)
+        return ycorr, outs
+
+    xs = (ms.mt, ms.center, ms.gram, ms.beta.reshape(ms.mpm.shape), lxs)
+    ycorr, outs = lax.scan(block_body, ycorr, xs)
+    beta = outs[0].reshape(-1)
+    delta = outs[1].reshape(-1)
+    cls_a = outs[2].reshape(mp.p_pad, nA)
+    bs_a = outs[3].reshape(mp.p_pad, nA)
+    nz_a = outs[4].reshape(mp.p_pad, nA)
+
+    cls0 = jnp.clip(cls_a - 1, 0, K - 1)
+    vsel = ms.v_class[cls0]
+    contrib = jnp.where(nz_a, bs_a * bs_a / jnp.where(nz_a, vsel, 1.0), 0.0)
+    sum_s = jnp.sum(contrib, axis=0)  # (nA,)
+    n_nz = jnp.sum(nz_a, axis=0)
+    var_beta = (ms.scale * mp.df + sum_s) / _chi2(kv, mp.df + n_nz)
+
+    out = replace(ms, beta=beta, delta=delta,
+                  var_beta=var_beta.astype(ms.var_beta.dtype))
+    if mp.est_pi:
+        joint = (cls_a[:, :, None] == jnp.arange(1, K + 1)[None, None, :])
+        counts = jnp.sum(joint, axis=0).astype(dtype)
+        pi_hat = sample_dirichlet(kp, counts + 1.0).astype(dtype)
+        out = replace(out, pi_hat=pi_hat, log_pi=jnp.log(pi_hat))
+    return out, ycorr
+
+
+# ------------------------------------------------------------------ BayesLV
+
+
+def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+    """sampleBayesLV! (functions.jl:421-486): BayesPR-style effect update with
+    per-locus variances, then the 3-auxiliary-variable bounded-uniform
+    variance draw, the log-linear coefficient draw, and varZeta."""
+    dtype = ycorr.dtype
+    kz, ku, kc = jax.random.split(key, 3)
+    nb, B = mp.n_blocks, mp.block
+    z = jax.random.normal(kz, (mp.p_pad,), dtype)
+    u4 = jax.random.uniform(ku, (mp.p_pad, 4), dtype)
+    ive = 1.0 / var_e
+    ivb_locus = jnp.where(ms.var_beta > 0, 1.0 / ms.var_beta, jnp.inf).astype(dtype)
+
+    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, ivb_locus)) + (
+        ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
+
+    def locus_fn(pre, pre_raw, bold, lx):
+        zj, ivbj, mpmj, lssj, rssj, maskj = lx
+        rhs = pre * ive + rssj
+        lhs = mpmj * ive + lssj + ivbj
+        bnew = rhs / lhs + zj * jnp.sqrt(1.0 / lhs)
+        return jnp.where(maskj, bnew, 0.0), None
+
+    ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False)
+
+    # ---- per-locus variance: bounded-uniform slice draw (functions.jl:444-470)
+    vz = ms.var_zeta
+    mask = ms.mask.reshape(-1)
+    vari = jnp.where(mask, ms.var_beta, 1.0).astype(dtype)
+    bi = beta
+    logv = ms.log_var
+    zeta = ms.lv_resid
+    u1, u2, u3, uu = u4[:, 0], u4[:, 1], u4[:, 2], u4[:, 3]
+    var_mui = logv - zeta
+    c1 = vari ** (-1.5) * u1
+    log_c2 = -0.5 * bi * bi / vari + jnp.log(u2)
+    temp = jnp.sqrt(zeta * zeta - 2.0 * vz * jnp.log(u3))  # = sqrt(-2 vz log c3)
+    lb = jnp.exp(var_mui - temp)
+    rb = jnp.exp(var_mui + temp)
+    rb = jnp.minimum(rb, jnp.exp((-2.0 / 3.0) * jnp.log(c1)))
+    lb = jnp.maximum(lb, -0.5 * bi * bi / log_c2)
+    trapped = lb >= rb
+    newv = lb + uu * (rb - lb)
+    upd = mask & ~trapped
+    var_beta = jnp.where(upd, newv, ms.var_beta)
+    log_var = jnp.where(upd, jnp.log(newv), ms.log_var)
+
+    # ---- c ~ MvNormal(iCpC C' logVar, iCpC * varZeta) (functions.jl:473-476)
+    zc = jax.random.normal(kc, (mp.n_lv_cov,), dtype)
+    rhs_c = ms.lv_design.T @ log_var
+    mean_c = ms.lv_icpc @ rhs_c
+    c = mean_c + jnp.sqrt(vz) * (ms.lv_icpc_chol @ zc)
+    resid = log_var - ms.lv_design @ c
+
+    # ---- varZeta policy (functions.jl:479-485); sample variance (ddof=1)
+    def _var(x):
+        xm = x[: mp.p]
+        return jnp.sum((xm - jnp.mean(xm)) ** 2) / (mp.p - 1)
+
+    if isinstance(mp.est_var_zeta, bool):
+        var_zeta = _var(resid) if mp.est_var_zeta else vz
+    else:
+        var_zeta = mp.est_var_zeta * _var(log_var)
+
+    return (
+        replace(ms, beta=beta, var_beta=var_beta, log_var=log_var, lv_c=c,
+                lv_resid=resid, var_zeta=jnp.asarray(var_zeta, dtype)),
+        ycorr,
+    )
+
+
+# ------------------------------------------------------------------ dispatch
+
+
+def sample_marker_set(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+    if mp.method == METHOD_PR:
+        return _sweep_pr(key, ms, mp, ycorr, var_e, d_inv)
+    if mp.method == METHOD_B:
+        return _sweep_bc(key, ms, mp, ycorr, var_e, d_inv, common=False)
+    if mp.method == METHOD_C:
+        return _sweep_bc(key, ms, mp, ycorr, var_e, d_inv, common=True)
+    if mp.method == METHOD_R:
+        return _sweep_r(key, ms, mp, ycorr, var_e, d_inv)
+    if mp.method == METHOD_RCPI:
+        return _sweep_rcpi(key, ms, mp, ycorr, var_e, d_inv)
+    if mp.method == METHOD_RCPLUS:
+        return _sweep_rcplus(key, ms, mp, ycorr, var_e, d_inv)
+    if mp.method == METHOD_LV:
+        return _sweep_lv(key, ms, mp, ycorr, var_e, d_inv)
+    raise ValueError(f"unknown marker method {mp.method}")

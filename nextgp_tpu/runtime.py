@@ -1,0 +1,131 @@
+"""High-level entry points: the `runLMEM` / `prep` equivalents.
+
+`run_lmem` mirrors the reference pipeline (`/root/reference/src/MCMC.jl:31-41`):
+wipe the output folder -> build the model -> run the chain with thinned
+output -> leave `<quantity>Out` files for `summary_mcmc`. Thinned draws are
+additionally returned in memory as stacked arrays (the reference only
+streams to disk).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from .api.spec import ModelSpec
+from .engine.plan import SweepPlan, assemble
+from .engine.sweep import collect_sample, make_chain_runner
+from .io.writer import MCMCWriter, folder_handler
+
+
+def _headers(spec: ModelSpec, plan: SweepPlan) -> Dict[str, List[str]]:
+    """Column headers matching the reference's output files (mme.jl:541-596)."""
+    h: Dict[str, List[str]] = {"varE": ["e"]}
+    blevels: List[str] = []
+    by_name = {t.name: t for t in spec.fixed}
+    for fp in plan.fixed:
+        names = fp.name if isinstance(fp.name, tuple) else (fp.name,)
+        for nm in names:
+            t = by_name[nm]
+            blevels += list(t.levels) if t.levels else (
+                [nm] if t.n_col == 1 else [f"{nm}_{i + 1}" for i in range(t.n_col)]
+            )
+    if blevels:
+        h["b"] = blevels
+    for t, rp in zip(spec.random, plan.random):
+        nm = rp.name if isinstance(rp.name, str) else "_".join(rp.name)
+        lv = list(t.levels) if t.levels else [f"{nm}{i + 1}" for i in range(rp.q)]
+        h[f"u{nm}"] = lv
+        h[f"varU{nm}"] = [nm] if not rp.correlated else [
+            f"{nm}_{i + 1}" for i in range(rp.n_t**2)
+        ]
+    for t, mp in zip(spec.markers, plan.markers):
+        h[f"beta{mp.name}"] = list(t.data.snp_ids)
+        h[f"delta{mp.name}"] = list(t.data.snp_ids)
+        if mp.n_var == mp.p_pad:
+            h[f"var{mp.name}"] = [f"reg_{i + 1}" for i in range(mp.p)]
+        else:
+            h[f"var{mp.name}"] = [f"reg_{i + 1}" for i in range(mp.n_var)]
+        if mp.method in ("BayesB", "BayesC", "BayesR"):
+            h[f"pi{mp.name}"] = [f"pi{v + 1}" for v in range(max(mp.n_classes, 2))]
+        if mp.method in ("BayesRCpi", "BayesRCplus"):
+            h[f"pi{mp.name}"] = [f"pi{v + 1}" for v in range(mp.n_classes * mp.n_annot)]
+            h[f"annot{mp.name}"] = list(t.data.snp_ids)
+        if mp.method == "BayesLV":
+            h[f"c{mp.name}"] = [f"c{v + 1}" for v in range(mp.n_lv_cov)]
+            h[f"varZeta{mp.name}"] = ["varZeta"]
+    return h
+
+
+@dataclass
+class LMEMResult:
+    plan: SweepPlan
+    state: Any
+    draws: Dict[str, np.ndarray] = field(default_factory=dict)
+    out_folder: Optional[str] = None
+    sweeps_per_sec: float = 0.0
+
+    def posterior_mean(self, name: str) -> np.ndarray:
+        return np.asarray(self.draws[name]).mean(axis=0)
+
+
+def run_lmem(
+    spec: ModelSpec,
+    n_chain: int,
+    n_burn: int,
+    n_thin: int,
+    out_folder: Optional[str] = "outMCMC",
+    seed: int = 0,
+    dtype=None,
+    keep_in_memory: bool = True,
+    progress: bool = False,
+) -> LMEMResult:
+    """Single-chain MCMC mirroring runLMEM (MCMC.jl:31-41).
+
+    Kept iterations are `(n_burn + n_thin) : n_thin : n_chain`
+    (samplers.jl:26).
+    """
+    if out_folder:
+        folder_handler(out_folder)
+    plan, state = assemble(spec, dtype=dtype)
+    runner = make_chain_runner(plan, n_thin)
+    key = jax.random.key(seed)
+
+    writer = MCMCWriter(out_folder, _headers(spec, plan)) if out_folder else None
+    draws: Dict[str, list] = {}
+
+    # burn-in: run in thin-sized hops with the same compiled runner
+    n_burn_hops = n_burn // n_thin
+    n_keep = (n_chain - n_burn_hops * n_thin) // n_thin
+    t0 = time.perf_counter()
+    for _ in range(n_burn_hops):
+        state, _ = runner(state, key)
+    for k in range(n_keep):
+        state, sample = runner(state, key)
+        if writer:
+            writer.put(sample)
+        if keep_in_memory:
+            for nm, v in sample.items():
+                draws.setdefault(nm, []).append(np.asarray(v))
+        if progress and (k + 1) % max(1, n_keep // 10) == 0:
+            print(f"  kept {k + 1}/{n_keep}")
+    jax.block_until_ready(state.ycorr)
+    dt = time.perf_counter() - t0
+    if writer:
+        writer.close()
+    return LMEMResult(
+        plan=plan,
+        state=state,
+        draws={k: np.stack(v) for k, v in draws.items()},
+        out_folder=out_folder,
+        sweeps_per_sec=(n_burn_hops + n_keep) * n_thin / dt if dt > 0 else 0.0,
+    )
+
+
+def prep(spec: ModelSpec, dtype=None):
+    """Standalone model inspection, mirroring exported `prep`
+    (prepMatVec.jl:39-176): returns (plan, state) without sampling."""
+    return assemble(spec, dtype=dtype)

@@ -1,0 +1,109 @@
+"""Data-layer tests: pedigree/A-inverse, GRM, regions, ingestion."""
+import numpy as np
+import pytest
+
+from nextgp_tpu.data import grm, ingest, pedigree, regions
+
+
+def test_make_a_mrode_example():
+    # Mrode (2005) example pedigree, the same construction makeA mirrors
+    # (misc.jl:73-90): 6 animals, sires/dams 0-coded, 1-based labels.
+    s = [0, 0, 1, 1, 4, 5]
+    d = [0, 0, 2, 0, 3, 2]
+    A = pedigree.make_a(s, d)
+    assert A.shape == (6, 6)
+    np.testing.assert_allclose(np.diag(A)[:4], [1, 1, 1, 1])
+    np.testing.assert_allclose(A[4, 4], 1.125)  # parents 4 & 3 related
+    np.testing.assert_allclose(A[0, 2], 0.5)
+
+
+def test_a_inverse_vs_dense_inverse():
+    s = [0, 0, 1, 1, 4, 5]
+    d = [0, 0, 2, 0, 3, 2]
+    ids = [str(i + 1) for i in range(6)]
+    sir = [None, None, "1", "1", "4", "5"]
+    dam = [None, None, "2", None, "3", "2"]
+    ped = pedigree.build_pedigree(ids, sir, dam)
+    idx = ped.index_of(ids)
+    A = pedigree.make_a(s, d)
+    ainv_h = pedigree.a_inverse(ped)
+    # permute Henderson result into original id order
+    P = np.zeros((6, 6))
+    for i, j in enumerate(idx):
+        P[j, i] = 1.0
+    np.testing.assert_allclose(P.T @ ainv_h @ P, np.linalg.inv(A), atol=1e-10)
+
+
+def test_inbreeding_full_sibs():
+    # offspring of full sibs: F = 0.25
+    ids = ["s", "d", "a", "b", "x"]
+    sir = [None, None, "s", "s", "a"]
+    dam = [None, None, "d", "d", "b"]
+    ped = pedigree.build_pedigree(ids, sir, dam)
+    f = dict(zip(ped.ids, ped.inbreeding))
+    assert abs(f["x"] - 0.25) < 1e-12
+
+
+def test_toposort_orders_parents_first():
+    ped = pedigree.build_pedigree(["c", "a", "b"], ["a", None, "a"], ["b", None, None])
+    pos = {v: i for i, v in enumerate(ped.ids)}
+    assert pos["a"] < pos["c"] and pos["b"] < pos["c"]
+
+
+def test_pedigree_loop_detected():
+    with pytest.raises(ValueError, match="loop"):
+        pedigree.build_pedigree(["a", "b"], ["b", "a"], [None, None])
+
+
+def test_make_g_vanraden(rng):
+    m = rng.integers(0, 3, size=(30, 100)).astype(float)
+    g1 = grm.make_g(m, method=1)
+    assert g1.shape == (30, 30)
+    np.testing.assert_allclose(g1, g1.T)
+    # trace of vanRaden G ~ n when markers in HWE
+    assert 0.5 < np.trace(g1) / 30 < 1.5
+    g2 = grm.make_g(m, method=2)
+    assert np.all(np.linalg.eigvalsh(g2) > 0)
+
+
+def test_regions_sentinels():
+    info = regions.build_regions(10, 1)
+    assert info.n_regions == 10
+    info = regions.build_regions(10, 9999)
+    assert info.n_regions == 1
+    with pytest.raises(ValueError):
+        regions.build_regions(10, 50)
+
+
+def test_regions_from_map():
+    chrs = np.r_[np.ones(10), np.full(7, 2)].astype(int)
+    info = regions.build_regions(17, 99, chrs)
+    assert info.n_regions == 2
+    np.testing.assert_array_equal(info.sizes, [10, 7])
+    info = regions.build_regions(17, 4, chrs)
+    # ceil(10/4)=3 + ceil(7/4)=2
+    assert info.n_regions == 5
+    np.testing.assert_array_equal(info.sizes, [4, 4, 2, 4, 3])
+    info = regions.build_regions(17, 9999, chrs)
+    assert info.n_regions == 1
+
+
+def test_ingest_drops_missing_and_centers(rng):
+    m = rng.integers(0, 3, size=(20, 5)).astype(float)
+    m[3, 2] = np.nan
+    md = ingest.from_array(m, snp_ids=[f"s{i}" for i in range(5)])
+    assert md.n_snp == 4
+    assert md.snp_ids == ["s0", "s1", "s3", "s4"]
+    c = md.centered()
+    np.testing.assert_allclose(c.mean(axis=0), 0.0, atol=1e-12)
+
+
+def test_ingest_genotype_file(tmp_path, rng):
+    m = rng.integers(0, 3, size=(8, 6))
+    path = tmp_path / "geno.txt"
+    with open(path, "w") as fh:
+        for row in m:
+            fh.write(" ".join(str(v) for v in row) + "\n")
+    md = ingest.read_genotype_file(str(path))
+    assert md.genotypes.shape == (8, 6)
+    np.testing.assert_array_equal(md.genotypes, m.astype(np.int8))
