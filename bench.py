@@ -1,0 +1,111 @@
+"""Headline benchmark: BayesR Gibbs sweep throughput on the local device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's only marker-sweep timing evidence is the BWGR docs
+example — ~81 sweeps/s at 12,414 SNPs, single CPU thread
+(/root/reference/docs/src/BWGR/BWGR.md:37,58; see BASELINE.md). vs_baseline
+is measured sweeps/s divided by 81, on a problem `NG_BENCH_P`/`NG_BENCH_N`
+(default 49,152 SNPs x 10,000 individuals — ~20x more work per sweep than
+the baseline problem).
+
+Env overrides: NG_BENCH_N, NG_BENCH_P, NG_BENCH_BLOCK, NG_BENCH_SWEEPS.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    try:  # persistent compile cache (big kernels; remote compiles are slow)
+        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import nextgp_tpu as ng
+    from nextgp_tpu.engine.sweep import make_sweep
+    from jax import lax
+
+    n = int(os.environ.get("NG_BENCH_N", 10000))
+    p = int(os.environ.get("NG_BENCH_P", 49152))
+    block = int(os.environ.get("NG_BENCH_BLOCK", 512))
+    n_sweeps = int(os.environ.get("NG_BENCH_SWEEPS", 50))
+
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 3, (n, p)).astype(np.int8)
+    # simulate phenotype cheaply in f32 (sim cost excluded from the metric)
+    causal = rng.choice(p, 500, replace=False)
+    bt = np.zeros(p, np.float32)
+    bt[causal] = rng.normal(0, 0.1, 500).astype(np.float32)
+    sig = g.astype(np.float32) @ bt
+    y = (sig - sig.mean() + rng.normal(0, 1.0, n).astype(np.float32)).astype(np.float64)
+
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[
+            ng.MarkerTerm(
+                "M1",
+                ng.from_array(g),
+                ng.BayesR([0.9, 0.05, 0.03, 0.02], [0.0, 1e-4, 1e-3, 1e-2], 1.0, estimatePi=True),
+            )
+        ],
+        block_size=block,
+    )
+    t0 = time.perf_counter()
+    plan, state = ng.assemble(spec)
+    t_assemble = time.perf_counter() - t0
+
+    sweep = make_sweep(plan)
+
+    def multi(state, key):
+        def body(st, _):
+            return sweep(st, key), None
+
+        st, _ = lax.scan(body, state, None, length=n_sweeps)
+        return st
+
+    step = jax.jit(multi, donate_argnums=0)
+    key = jax.random.key(0)
+
+    def barrier(st):
+        # host readback: block_until_ready does not reliably block through
+        # the axon remote-execution tunnel
+        return float(np.asarray(st.e.var_e))
+
+    t0 = time.perf_counter()
+    state = step(state, key)
+    barrier(state)
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state = step(state, key)
+    barrier(state)
+    dt = time.perf_counter() - t0
+    sweeps_per_sec = n_sweeps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"BayesR Gibbs sweeps/s ({n} ind x {p} SNPs, 1 chip, est-pi)",
+                "value": round(sweeps_per_sec, 2),
+                "unit": "sweeps/s",
+                "vs_baseline": round(sweeps_per_sec / 81.0, 2),
+            }
+        )
+    )
+    print(
+        f"# assemble {t_assemble:.1f}s, compile {t_compile:.1f}s, "
+        f"{dt / n_sweeps * 1e3:.1f} ms/sweep, backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,9 @@ import dataclasses
 from typing import Any, Optional, Tuple, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..api import priors as P
 from ..api.spec import FixedTerm, MarkerTerm, ModelSpec, RandomTerm
@@ -80,6 +82,7 @@ class MarkerPlan:
     df: float
     weighted: bool
     n_lv_cov: int
+    use_pallas: bool = False  # route in-block scans through the TPU kernels
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,7 +227,7 @@ def _method_of(prior):
     }[type(prior)]
 
 
-def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng):
+def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=False):
     md = term.data
     prior = term.prior
     method = _method_of(prior)
@@ -240,24 +243,26 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng):
     mt = _blockify(np.ascontiguousarray(g.T), p_pad, nb, block)
     center_b = _blockify(center, p_pad, nb, block, dtype=dtype)
 
-    # centered Gram blocks (+ raw variant when residual is weighted)
-    gram = np.empty((nb, block, block))
-    gram_raw = np.empty((nb, block, block)) if d_inv is not None else None
-    gt = g.astype(np.float64)
-    for b in range(nb):
-        sl = slice(b * block, min((b + 1) * block, p))
-        mc = gt[:, sl] - center[None, sl]
-        nbk = mc.shape[1]
-        gr = np.zeros((block, block))
-        if d_inv is not None:
-            gr[:nbk, :nbk] = mc.T @ (d_inv[:, None] * mc)
-            grr = np.zeros((block, block))
-            grr[:nbk, :nbk] = mc.T @ mc
-            gram_raw[b] = grr
-        else:
-            gr[:nbk, :nbk] = mc.T @ mc
-        gram[b] = gr
-    mpm = np.einsum("bii->bi", gram).copy()
+    # centered Gram blocks computed on-device (MXU): host f64 matmuls take
+    # minutes at production scale. Under x64 (tests) this is still exact f64.
+    mt_dev = jnp.asarray(mt)
+    cb_dev = jnp.asarray(_blockify(center, p_pad, nb, block), dtype)
+    di_dev = None if d_inv is None else jnp.asarray(d_inv, dtype)
+
+    @jax.jit
+    def _grams(mt_d, cb_d):
+        def one(args):
+            mtb, cbb = args
+            mcb = mtb.astype(dtype) - cbb[:, None]
+            gw = (mcb * di_dev) @ mcb.T if di_dev is not None else mcb @ mcb.T
+            gr = mcb @ mcb.T if di_dev is not None else gw
+            return gw, gr
+        return lax.map(one, (mt_d, cb_d))
+
+    gram_d, gram_raw_d = _grams(mt_dev, cb_dev)
+    gram = gram_d
+    gram_raw = gram_raw_d if d_inv is not None else None
+    mpm = jnp.diagonal(gram_d, axis1=1, axis2=2)
 
     lhs, rhs = _marker_ss_offsets(p, ss)
     mask = np.zeros(p_pad, bool)
@@ -405,14 +410,27 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng):
         df=df,
         weighted=d_inv is not None,
         n_lv_cov=n_lv_cov,
+        use_pallas=use_pallas and method in (METHOD_PR, METHOD_B, METHOD_C, METHOD_R, METHOD_LV),
     )
     return ms, mp
 
 
-def assemble(spec: ModelSpec, dtype=None, block_size: Optional[int] = None):
-    """Build (SweepPlan, ModelState) from a validated ModelSpec."""
+def assemble(
+    spec: ModelSpec,
+    dtype=None,
+    block_size: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
+):
+    """Build (SweepPlan, ModelState) from a validated ModelSpec.
+
+    use_pallas: None -> auto (on when the default backend is TPU). The
+    Pallas path samples the same chain as the pure-JAX path from the same
+    random streams (up to f32 associativity).
+    """
     spec.validate()
     dtype = jnp.dtype(dtype or default_real_dtype())
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     rng = np.random.default_rng(20240509)
 
     y = np.asarray(spec.y, dtype=np.float64).ravel()
@@ -454,7 +472,9 @@ def assemble(spec: ModelSpec, dtype=None, block_size: Optional[int] = None):
     marker_states, marker_plans = [], []
     bs = block_size or spec.block_size
     for t in spec.markers:
-        st, pl = _build_marker(t, d_inv, spec.summary_stats.get(t.name), bs, dtype, rng)
+        st, pl = _build_marker(
+            t, d_inv, spec.summary_stats.get(t.name), bs, dtype, rng, use_pallas=use_pallas
+        )
         marker_states.append(st)
         marker_plans.append(pl)
 

@@ -22,6 +22,16 @@ bit-for-bit in exact arithmetic. Weighted residuals ("D") carry a second,
 unweighted Gram for BayesB/C's raw indicator dot (functions.jl:168,208 use
 the plain dot even when rhs is weighted).
 
+Sharding (ShardCtx): every function also runs under shard_map with its
+marker arrays holding only the local block shard. The residual is
+replicated; the per-block correction and every cross-locus reduction
+(region sums, inclusion counts, class counts, LV moments) go through
+ctx.psum. Per-locus random streams are generated at GLOBAL length from the
+chain key and sliced per shard, so the same chain is sampled regardless of
+the shard count — except BayesRCpi's Dirichlet gammas, whose shape
+parameters are shard-local (annotation inputs); those fold the shard index
+into the key instead.
+
 All randomness is pre-generated per sweep from counter-based keys
 (engine/rng.py) and consumed positionally, so the pure-JAX path, the Pallas
 kernel path and the NumPy golden oracle share identical streams.
@@ -32,8 +42,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ...ops import gibbs_kernels
 from ...ops.dists import categorical_from_probs, sample_beta_dist, sample_dirichlet
 from ...utils import replace
+from ..sharding import UNSHARDED, ShardCtx
 from ..plan import (
     METHOD_B,
     METHOD_C,
@@ -46,40 +58,76 @@ from ..plan import (
 )
 
 
+# ------------------------------------------------------------------ helpers
+
+
+def _chi2(key, half_df_times2):
+    return 2.0 * jax.random.gamma(key, jnp.asarray(half_df_times2) / 2.0)
+
+
+def _local_dims(ms, mp):
+    nb_l = ms.mpm.shape[0]
+    return nb_l, nb_l * mp.block
+
+
+def _rnorm(key, mp, ctx, p_local, dtype, extra=()):
+    full = jax.random.normal(key, (mp.p_pad,) + tuple(extra), dtype)
+    return ctx.slice_p(full, p_local)
+
+
+def _runif(key, mp, ctx, p_local, dtype, extra=()):
+    full = jax.random.uniform(key, (mp.p_pad,) + tuple(extra), dtype)
+    return ctx.slice_p(full, p_local)
+
+
+def _blockify_dev(a, nb, B):
+    return a.reshape((nb, B) + a.shape[1:])
+
+
 # ------------------------------------------------------------------ core scan
 
 
 def _block_scan(gram_b, gram_raw_b, r0, r0_raw, beta_old_b, locus_xs, locus_fn, dtype):
     """Sequential in-block scan. locus_fn(pre, pre_raw, bold, lx) -> (bnew, out)."""
     B = r0.shape[0]
+    have_raw = gram_raw_b is not None
 
-    def body(u, xs):
-        j, grow, graw, r0j, r0rj, bold, lx = xs
+    xs = (jnp.arange(B), gram_b,
+          gram_raw_b if have_raw else jnp.zeros((B, 0), dtype),
+          r0, r0_raw if have_raw else jnp.zeros((B,), dtype),
+          beta_old_b, locus_xs)
+
+    def body(u, xsj):
+        j, grow, graw, r0j, r0rj, bold, lx = xsj
         u = u.at[j].set(bold)
         pre = r0j + grow @ u
-        pre_raw = r0rj + graw @ u if graw is not None else pre
+        pre_raw = (r0rj + graw @ u) if have_raw else pre
         bnew, out = locus_fn(pre, pre_raw, bold, lx)
         u = u.at[j].set(bold - bnew)
         return u, (bnew, out)
 
-    xs = (jnp.arange(B), gram_b,
-          gram_raw_b if gram_raw_b is not None else jnp.zeros((B, 0), dtype),
-          r0, r0_raw if r0_raw is not None else jnp.zeros((B,), dtype),
-          beta_old_b, locus_xs)
-
-    def body_wrap(u, xs):
-        j, grow, graw, r0j, r0rj, bold, lx = xs
-        graw_eff = graw if gram_raw_b is not None else None
-        r0rj_eff = r0rj if gram_raw_b is not None else None
-        return body(u, (j, grow, graw_eff, r0j, r0rj_eff, bold, lx))
-
     u0 = jnp.zeros((B,), dtype)
-    u, (beta_new, outs) = lax.scan(body_wrap, u0, xs)
+    u, (beta_new, outs) = lax.scan(body, u0, xs)
     return u, beta_new, outs
 
 
-def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw):
-    """Outer scan over marker blocks; carries ycorr."""
+def _interpret_pallas() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
+                   scan_impl=None):
+    """Outer scan over (local) marker blocks; carries the replicated ycorr.
+
+    scan_impl overrides the in-block scan (the Pallas kernel path); default
+    wraps the pure-JAX _block_scan around locus_fn.
+    """
+    use_raw = need_raw and d_inv is not None
+
+    if scan_impl is None:
+        def scan_impl(gramb, grawb, r0, r0_raw, beta_old_b, lxs):
+            return _block_scan(gramb, grawb, r0, r0_raw, beta_old_b, lxs,
+                               locus_fn, dtype)
 
     def block_body(ycorr, xs):
         mtb, cb, gramb, grawb, beta_old_b, lxs = xs
@@ -87,14 +135,14 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw):
         if d_inv is not None:
             yw = d_inv * ycorr
             r0 = mtf @ yw - cb * jnp.sum(yw)
-            r0_raw = (mtf @ ycorr - cb * jnp.sum(ycorr)) if need_raw else None
+            r0_raw = (mtf @ ycorr - cb * jnp.sum(ycorr)) if use_raw else None
         else:
             r0 = mtf @ ycorr - cb * jnp.sum(ycorr)
             r0_raw = None
-        u, beta_new_b, outs = _block_scan(
-            gramb, grawb if (d_inv is not None and need_raw) else None,
-            r0, r0_raw, beta_old_b, lxs, locus_fn, dtype)
-        ycorr = ycorr + u @ mtf - jnp.dot(u, cb)
+        u, beta_new_b, outs = scan_impl(
+            gramb, grawb if use_raw else None, r0, r0_raw, beta_old_b, lxs)
+        correction = u @ mtf - jnp.dot(u, cb)
+        ycorr = ycorr + ctx.psum(correction)
         return ycorr, (beta_new_b, outs)
 
     graw = ms.gram_raw if ms.gram_raw is not None else ms.gram
@@ -104,28 +152,20 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw):
     return ycorr, beta_new.reshape(-1), outs
 
 
-def _chi2(key, half_df_times2):
-    return 2.0 * jax.random.gamma(key, jnp.asarray(half_df_times2) / 2.0)
-
-
-def _blockify_dev(a, nb, B):
-    return a.reshape((nb, B) + a.shape[1:])
-
-
 # ------------------------------------------------------------------ BayesPR
 
 
-def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     """sampleBayesPR! (functions.jl:118-137)."""
     dtype = ycorr.dtype
     kz, kv = jax.random.split(key)
-    nb, B = mp.n_blocks, mp.block
-    z = jax.random.normal(kz, (mp.p_pad,), dtype)
+    nb_l, p_l = _local_dims(ms, mp)
+    z = _rnorm(kz, mp, ctx, p_l, dtype)
     ivb = jnp.where(ms.var_beta > 0, 1.0 / ms.var_beta, jnp.inf)
     ivb_locus = ivb[jnp.clip(ms.region_id, 0, mp.n_var - 1)]
     ive = 1.0 / var_e
 
-    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, ivb_locus)) + (
+    lxs = tuple(_blockify_dev(a, nb_l, mp.block) for a in (z, ivb_locus)) + (
         ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
 
     def locus_fn(pre, pre_raw, bold, lx):
@@ -135,13 +175,32 @@ def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
         bnew = rhs / lhs + zj * jnp.sqrt(1.0 / lhs)
         return jnp.where(maskj, bnew, 0.0), None
 
-    ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False)
+    scan_impl = None
+    if mp.use_pallas:
+        interp = _interpret_pallas()
+        pk = gibbs_kernels.gauss_block_pack(
+            jnp.zeros((p_l,), dtype), ms.beta, z, ivb_locus,
+            ms.mpm.reshape(-1), ms.lhs_ss.reshape(-1), ms.rhs_ss.reshape(-1),
+            ms.mask.reshape(-1), ive)
+        lxs = (pk.reshape(nb_l, mp.block, -1),)
+
+        def scan_impl(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
+            beta_new, u = gibbs_kernels.gauss_block_scan(gramb, pk_b, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), None
+
+    ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
+                                    scan_impl=scan_impl)
 
     # region variance update (functions.jl:135, sampleVarBetaPR :509-511)
-    ss = jax.ops.segment_sum(beta * beta, ms.region_id, num_segments=mp.n_var + 1)[: mp.n_var]
-    region_sizes = jax.ops.segment_sum(
-        ms.mask.reshape(-1).astype(dtype), ms.region_id, num_segments=mp.n_var + 1
-    )[: mp.n_var]
+    ss = ctx.psum(
+        jax.ops.segment_sum(beta * beta, ms.region_id, num_segments=mp.n_var + 1)[: mp.n_var]
+    )
+    region_sizes = ctx.psum(
+        jax.ops.segment_sum(
+            ms.mask.reshape(-1).astype(dtype), ms.region_id, num_segments=mp.n_var + 1
+        )[: mp.n_var]
+    )
     chi = _chi2(kv, mp.df + region_sizes)
     var_beta = (ms.scale * mp.df + ss) / chi
     return replace(ms, beta=beta, var_beta=var_beta.astype(dtype)), ycorr
@@ -150,23 +209,23 @@ def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
 # ------------------------------------------------------------------ BayesB / BayesC
 
 
-def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool):
+def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool, ctx):
     """sampleBayesB! (functions.jl:157-195) / sampleBayesC! (:197-236)."""
     dtype = ycorr.dtype
     kz, ku, kv, kp = jax.random.split(key, 4)
-    nb, B = mp.n_blocks, mp.block
-    z = jax.random.normal(kz, (mp.p_pad,), dtype)
-    unif = jax.random.uniform(ku, (mp.p_pad,), dtype)
+    nb_l, p_l = _local_dims(ms, mp)
+    z = _rnorm(kz, mp, ctx, p_l, dtype)
+    unif = _runif(ku, mp, ctx, p_l, dtype)
     ive = 1.0 / var_e
     lp0, lp1 = ms.log_pi[0], ms.log_pi[1]
 
     if common:
-        vb_locus = jnp.full((mp.p_pad,), ms.var_beta[0], dtype)
+        vb_locus = jnp.full((p_l,), ms.var_beta[0], dtype)
     else:
         vb_locus = ms.var_beta.astype(dtype)
     ivb_locus = jnp.where(vb_locus > 0, 1.0 / vb_locus, jnp.inf)
 
-    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, unif, vb_locus, ivb_locus)) + (
+    lxs = tuple(_blockify_dev(a, nb_l, mp.block) for a in (z, unif, vb_locus, ivb_locus)) + (
         ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
 
     def locus_fn(pre, pre_raw, bold, lx):
@@ -185,15 +244,30 @@ def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool):
         bnew = jnp.where(inc & maskj, b_inc, 0.0)
         return bnew, (inc & maskj)
 
-    ycorr, beta, inc = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, True)
+    scan_impl = None
+    if mp.use_pallas and d_inv is None:  # weighted rrr path stays in JAX
+        interp = _interpret_pallas()
+        pk = gibbs_kernels.bc_block_pack(
+            ms.beta, z, unif, vb_locus, ivb_locus,
+            ms.mpm.reshape(-1), ms.lhs_ss.reshape(-1), ms.rhs_ss.reshape(-1),
+            ms.mask.reshape(-1), ive, var_e, lp0, lp1, common)
+        lxs = (pk.reshape(nb_l, mp.block, -1),)
+
+        def scan_impl(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
+            beta_new, u, delta = gibbs_kernels.bc_block_scan(gramb, pk_b, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), delta > 0
+
+    ycorr, beta, inc = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, True, ctx,
+                                      scan_impl=scan_impl)
     delta = inc.reshape(-1).astype(jnp.int32)
-    n_in = jnp.sum(delta)
+    n_in = ctx.psum(jnp.sum(delta))
 
     if common:
-        ss = jnp.dot(beta, beta)  # all loci incl. zeros (functions.jl:230)
+        ss = ctx.psum(jnp.dot(beta, beta))  # all loci incl. zeros (functions.jl:230)
         var_beta = ((ms.scale * mp.df + ss) / _chi2(kv, mp.df + n_in)).reshape(1)
     else:
-        chi = _chi2(kv, jnp.full((mp.p_pad,), mp.df + 1.0))
+        chi = ctx.slice_p(_chi2(kv, jnp.full((mp.p_pad,), mp.df + 1.0)), p_l)
         vb = (ms.scale * mp.df + beta * beta) / chi  # per-locus (functions.jl:182)
         var_beta = jnp.where(delta == 1, vb, 0.0)
 
@@ -208,19 +282,19 @@ def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool):
 # ------------------------------------------------------------------ BayesR
 
 
-def _sweep_r(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+def _sweep_r(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     """sampleBayesR! (functions.jl:238-289)."""
     dtype = ycorr.dtype
     kz, ku, kv, kp = jax.random.split(key, 4)
-    nb, B = mp.n_blocks, mp.block
+    nb_l, p_l = _local_dims(ms, mp)
     K = mp.n_classes
-    z = jax.random.normal(kz, (mp.p_pad,), dtype)
-    unif = jax.random.uniform(ku, (mp.p_pad,), dtype)
+    z = _rnorm(kz, mp, ctx, p_l, dtype)
+    unif = _runif(ku, mp, ctx, p_l, dtype)
     ive = 1.0 / var_e
     varc = ms.var_beta[0] * ms.v_class  # (K,) (functions.jl:244)
     log_pi = ms.log_pi
 
-    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, unif)) + (
+    lxs = tuple(_blockify_dev(a, nb_l, mp.block) for a in (z, unif)) + (
         ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
 
     def locus_fn(pre, pre_raw, bold, lx):
@@ -245,19 +319,34 @@ def _sweep_r(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
         delta = jnp.where(maskj, cls + 1, 0)
         return bnew, delta.astype(jnp.int32)
 
-    ycorr, beta, delta_b = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False)
+    scan_impl = None
+    if mp.use_pallas:
+        interp = _interpret_pallas()
+        pk = gibbs_kernels.r_block_pack(
+            ms.beta, z, unif, ms.mpm.reshape(-1), ms.lhs_ss.reshape(-1),
+            ms.rhs_ss.reshape(-1), ms.mask.reshape(-1), varc, log_pi, ive, var_e)
+        lxs = (pk.reshape(nb_l, mp.block, -1),)
+
+        def scan_impl(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
+            beta_new, u, delta = gibbs_kernels.r_block_scan(
+                gramb, pk_b, K, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), delta
+
+    ycorr, beta, delta_b = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
+                                          scan_impl=scan_impl)
     delta = delta_b.reshape(-1)
     cls0 = jnp.clip(delta - 1, 0, K - 1)
     vsel = ms.v_class[cls0]
     active = (delta > 0) & (vsel > 0)
-    sum_s = jnp.sum(jnp.where(active, beta * beta / jnp.where(active, vsel, 1.0), 0.0))
-    n_nz = jnp.sum(active)
+    sum_s = ctx.psum(jnp.sum(jnp.where(active, beta * beta / jnp.where(active, vsel, 1.0), 0.0)))
+    n_nz = ctx.psum(jnp.sum(active))
     var_beta = ((ms.scale * mp.df + sum_s) / _chi2(kv, mp.df + n_nz)).reshape(1)
 
     out = replace(ms, beta=beta, delta=delta, var_beta=var_beta.astype(ms.var_beta.dtype))
     if mp.est_pi:  # Dirichlet(nLoci .+ 1) (functions.jl:536-538)
-        counts = jnp.sum(
-            (delta[:, None] == jnp.arange(1, K + 1)[None, :]).astype(dtype), axis=0
+        counts = ctx.psum(
+            jnp.sum((delta[:, None] == jnp.arange(1, K + 1)[None, :]).astype(dtype), axis=0)
         )
         pi_hat = sample_dirichlet(kp, counts + 1.0).astype(dtype)
         out = replace(out, pi_hat=pi_hat, log_pi=jnp.log(pi_hat))
@@ -267,17 +356,21 @@ def _sweep_r(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
 # ------------------------------------------------------------------ BayesRCpi
 
 
-def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     """sampleBayesRCpi! (functions.jl:291-360)."""
     dtype = ycorr.dtype
     kz, kua, kuv, kg1, kg2, kv, kp = jax.random.split(key, 7)
-    nb, B = mp.n_blocks, mp.block
+    nb_l, p_l = _local_dims(ms, mp)
     nA, K = mp.n_annot, mp.n_classes
-    z = jax.random.normal(kz, (mp.p_pad,), dtype)
-    unif_a = jax.random.uniform(kua, (mp.p_pad,), dtype)
-    unif_v = jax.random.uniform(kuv, (mp.p_pad,), dtype)
+    z = _rnorm(kz, mp, ctx, p_l, dtype)
+    unif_a = _runif(kua, mp, ctx, p_l, dtype)
+    unif_v = _runif(kuv, mp, ctx, p_l, dtype)
     # pre-generated Dirichlet gammas for sampleProb (functions.jl:541-544):
-    # alpha = annotInput (+1 at the sampled annotation)
+    # alpha = annotInput (+1 at the sampled annotation). Shapes are
+    # shard-local, so fold the shard index instead of slicing a global draw.
+    if ctx.axis is not None:
+        kg1 = jax.random.fold_in(kg1, ctx.index)
+        kg2 = jax.random.fold_in(kg2, ctx.index)
     a_in = ms.annot_input
     g1 = jax.random.gamma(kg1, jnp.maximum(a_in, 1e-6)).astype(dtype)
     g2 = jax.random.gamma(kg2, a_in + 1.0).astype(dtype)
@@ -287,7 +380,7 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
     nzc = varc > 0
 
     lxs = tuple(
-        _blockify_dev(a, nb, B)
+        _blockify_dev(a, nb_l, mp.block)
         for a in (z, unif_a, unif_v, g1, g2, ms.annot_prob, ms.annot_nz)
     ) + (ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
 
@@ -302,7 +395,7 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
             0.0,
         ) + log_pi
         logl = logl - jnp.max(logl)  # one global shift; annot & class probs invariant
-        expl = jnp.where(anzj[:, None], jnp.exp(logl), 0.0)  # only non-zero annots (functions.jl:307)
+        expl = jnp.where(anzj[:, None], jnp.exp(logl), 0.0)  # non-zero annots only (functions.jl:307)
         rowsum = jnp.sum(expl, axis=1)
         pa = aprobj * rowsum
         pa = pa / jnp.sum(pa)
@@ -321,10 +414,10 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
         acat = jnp.where(maskj, a_sel + 1, 0).astype(jnp.int32)
         return bnew, (delta, acat, aprob_new)
 
-    ycorr, beta, outs = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False)
+    ycorr, beta, outs = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx)
     delta = outs[0].reshape(-1)
     acat = outs[1].reshape(-1)
-    annot_prob = outs[2].reshape(mp.p_pad, nA)
+    annot_prob = outs[2].reshape(p_l, nA)
 
     cls0 = jnp.clip(delta - 1, 0, K - 1)
     a0 = jnp.clip(acat - 1, 0, nA - 1)
@@ -332,8 +425,8 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
     active = (delta > 0) & (vsel > 0)
     contrib = jnp.where(active, beta * beta / jnp.where(active, vsel, 1.0), 0.0)
     onehot_a = (a0[:, None] == jnp.arange(nA)[None, :]) & (acat > 0)[:, None]
-    sum_s = jnp.sum(jnp.where(onehot_a, contrib[:, None], 0.0), axis=0)  # (nA,)
-    n_nz = jnp.sum(onehot_a & active[:, None], axis=0)
+    sum_s = ctx.psum(jnp.sum(jnp.where(onehot_a, contrib[:, None], 0.0), axis=0))  # (nA,)
+    n_nz = ctx.psum(jnp.sum(onehot_a & active[:, None], axis=0))
     chi = _chi2(kv, mp.df + n_nz)
     var_beta = (ms.scale * mp.df + sum_s) / chi
 
@@ -347,7 +440,7 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
             & (cls0[:, None, None] == jnp.arange(K)[None, None, :])
             & (delta > 0)[:, None, None]
         )
-        counts = jnp.sum(joint, axis=0).astype(dtype)  # (nA, K)
+        counts = ctx.psum(jnp.sum(joint, axis=0).astype(dtype))  # (nA, K)
         pi_hat = sample_dirichlet(kp, counts + 1.0).astype(dtype)
         out = replace(out, pi_hat=pi_hat, log_pi=jnp.log(pi_hat))
     return out, ycorr
@@ -356,22 +449,21 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
 # ------------------------------------------------------------------ BayesRCplus
 
 
-def _sweep_rcplus(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+def _sweep_rcplus(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     """sampleBayesRCplus! (functions.jl:362-419): every non-zero annotation
     contributes an additive component to the locus effect; rhs is recomputed
     after each component since ycorr shifts (functions.jl:379,400)."""
     dtype = ycorr.dtype
     kz, ku, kv, kp = jax.random.split(key, 4)
-    nb, B = mp.n_blocks, mp.block
+    nb_l, p_l = _local_dims(ms, mp)
     nA, K = mp.n_annot, mp.n_classes
-    z = jax.random.normal(kz, (mp.p_pad, nA), dtype)
-    unif = jax.random.uniform(ku, (mp.p_pad, nA), dtype)
+    z = _rnorm(kz, mp, ctx, p_l, dtype, extra=(nA,))
+    unif = _runif(ku, mp, ctx, p_l, dtype, extra=(nA,))
     ive = 1.0 / var_e
     varc = ms.var_beta[:, None] * ms.v_class[None, :]  # (nA, K)
     log_pi = ms.log_pi
-    nzc = varc > 0
 
-    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, unif, ms.annot_nz)) + (
+    lxs = tuple(_blockify_dev(a, nb_l, mp.block) for a in (z, unif, ms.annot_nz)) + (
         ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
 
     def block_body(ycorr, xs):
@@ -423,29 +515,30 @@ def _sweep_rcplus(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
         B_ = r0.shape[0]
         u0 = jnp.zeros((B_,), dtype)
         u, outs = lax.scan(body, u0, (jnp.arange(B_), gramb, r0, beta_old_b, lx))
-        ycorr = ycorr + u @ mtf - jnp.dot(u, cb)
+        correction = u @ mtf - jnp.dot(u, cb)
+        ycorr = ycorr + ctx.psum(correction)
         return ycorr, outs
 
     xs = (ms.mt, ms.center, ms.gram, ms.beta.reshape(ms.mpm.shape), lxs)
     ycorr, outs = lax.scan(block_body, ycorr, xs)
     beta = outs[0].reshape(-1)
     delta = outs[1].reshape(-1)
-    cls_a = outs[2].reshape(mp.p_pad, nA)
-    bs_a = outs[3].reshape(mp.p_pad, nA)
-    nz_a = outs[4].reshape(mp.p_pad, nA)
+    cls_a = outs[2].reshape(p_l, nA)
+    bs_a = outs[3].reshape(p_l, nA)
+    nz_a = outs[4].reshape(p_l, nA)
 
     cls0 = jnp.clip(cls_a - 1, 0, K - 1)
     vsel = ms.v_class[cls0]
     contrib = jnp.where(nz_a, bs_a * bs_a / jnp.where(nz_a, vsel, 1.0), 0.0)
-    sum_s = jnp.sum(contrib, axis=0)  # (nA,)
-    n_nz = jnp.sum(nz_a, axis=0)
+    sum_s = ctx.psum(jnp.sum(contrib, axis=0))  # (nA,)
+    n_nz = ctx.psum(jnp.sum(nz_a, axis=0))
     var_beta = (ms.scale * mp.df + sum_s) / _chi2(kv, mp.df + n_nz)
 
     out = replace(ms, beta=beta, delta=delta,
                   var_beta=var_beta.astype(ms.var_beta.dtype))
     if mp.est_pi:
         joint = (cls_a[:, :, None] == jnp.arange(1, K + 1)[None, None, :])
-        counts = jnp.sum(joint, axis=0).astype(dtype)
+        counts = ctx.psum(jnp.sum(joint, axis=0).astype(dtype))
         pi_hat = sample_dirichlet(kp, counts + 1.0).astype(dtype)
         out = replace(out, pi_hat=pi_hat, log_pi=jnp.log(pi_hat))
     return out, ycorr
@@ -454,19 +547,19 @@ def _sweep_rcplus(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
 # ------------------------------------------------------------------ BayesLV
 
 
-def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     """sampleBayesLV! (functions.jl:421-486): BayesPR-style effect update with
     per-locus variances, then the 3-auxiliary-variable bounded-uniform
     variance draw, the log-linear coefficient draw, and varZeta."""
     dtype = ycorr.dtype
     kz, ku, kc = jax.random.split(key, 3)
-    nb, B = mp.n_blocks, mp.block
-    z = jax.random.normal(kz, (mp.p_pad,), dtype)
-    u4 = jax.random.uniform(ku, (mp.p_pad, 4), dtype)
+    nb_l, p_l = _local_dims(ms, mp)
+    z = _rnorm(kz, mp, ctx, p_l, dtype)
+    u4 = _runif(ku, mp, ctx, p_l, dtype, extra=(4,))
     ive = 1.0 / var_e
     ivb_locus = jnp.where(ms.var_beta > 0, 1.0 / ms.var_beta, jnp.inf).astype(dtype)
 
-    lxs = tuple(_blockify_dev(a, nb, B) for a in (z, ivb_locus)) + (
+    lxs = tuple(_blockify_dev(a, nb_l, mp.block) for a in (z, ivb_locus)) + (
         ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
 
     def locus_fn(pre, pre_raw, bold, lx):
@@ -476,7 +569,22 @@ def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
         bnew = rhs / lhs + zj * jnp.sqrt(1.0 / lhs)
         return jnp.where(maskj, bnew, 0.0), None
 
-    ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False)
+    scan_impl = None
+    if mp.use_pallas:
+        interp = _interpret_pallas()
+        pk = gibbs_kernels.gauss_block_pack(
+            jnp.zeros((p_l,), dtype), ms.beta, z, ivb_locus,
+            ms.mpm.reshape(-1), ms.lhs_ss.reshape(-1), ms.rhs_ss.reshape(-1),
+            ms.mask.reshape(-1), ive)
+        lxs = (pk.reshape(nb_l, mp.block, -1),)
+
+        def scan_impl(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
+            beta_new, u = gibbs_kernels.gauss_block_scan(gramb, pk_b, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), None
+
+    ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
+                                    scan_impl=scan_impl)
 
     # ---- per-locus variance: bounded-uniform slice draw (functions.jl:444-470)
     vz = ms.var_zeta
@@ -502,15 +610,17 @@ def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
 
     # ---- c ~ MvNormal(iCpC C' logVar, iCpC * varZeta) (functions.jl:473-476)
     zc = jax.random.normal(kc, (mp.n_lv_cov,), dtype)
-    rhs_c = ms.lv_design.T @ log_var
+    rhs_c = ctx.psum(ms.lv_design.T @ log_var)
     mean_c = ms.lv_icpc @ rhs_c
     c = mean_c + jnp.sqrt(vz) * (ms.lv_icpc_chol @ zc)
     resid = log_var - ms.lv_design @ c
 
     # ---- varZeta policy (functions.jl:479-485); sample variance (ddof=1)
     def _var(x):
-        xm = x[: mp.p]
-        return jnp.sum((xm - jnp.mean(xm)) ** 2) / (mp.p - 1)
+        s1 = ctx.psum(jnp.sum(jnp.where(mask, x, 0.0)))
+        s2 = ctx.psum(jnp.sum(jnp.where(mask, x * x, 0.0)))
+        mean = s1 / mp.p
+        return (s2 - mp.p * mean * mean) / (mp.p - 1)
 
     if isinstance(mp.est_var_zeta, bool):
         var_zeta = _var(resid) if mp.est_var_zeta else vz
@@ -527,19 +637,19 @@ def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
 # ------------------------------------------------------------------ dispatch
 
 
-def sample_marker_set(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv):
+def sample_marker_set(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx: ShardCtx = UNSHARDED):
     if mp.method == METHOD_PR:
-        return _sweep_pr(key, ms, mp, ycorr, var_e, d_inv)
+        return _sweep_pr(key, ms, mp, ycorr, var_e, d_inv, ctx)
     if mp.method == METHOD_B:
-        return _sweep_bc(key, ms, mp, ycorr, var_e, d_inv, common=False)
+        return _sweep_bc(key, ms, mp, ycorr, var_e, d_inv, False, ctx)
     if mp.method == METHOD_C:
-        return _sweep_bc(key, ms, mp, ycorr, var_e, d_inv, common=True)
+        return _sweep_bc(key, ms, mp, ycorr, var_e, d_inv, True, ctx)
     if mp.method == METHOD_R:
-        return _sweep_r(key, ms, mp, ycorr, var_e, d_inv)
+        return _sweep_r(key, ms, mp, ycorr, var_e, d_inv, ctx)
     if mp.method == METHOD_RCPI:
-        return _sweep_rcpi(key, ms, mp, ycorr, var_e, d_inv)
+        return _sweep_rcpi(key, ms, mp, ycorr, var_e, d_inv, ctx)
     if mp.method == METHOD_RCPLUS:
-        return _sweep_rcplus(key, ms, mp, ycorr, var_e, d_inv)
+        return _sweep_rcplus(key, ms, mp, ycorr, var_e, d_inv, ctx)
     if mp.method == METHOD_LV:
-        return _sweep_lv(key, ms, mp, ycorr, var_e, d_inv)
+        return _sweep_lv(key, ms, mp, ycorr, var_e, d_inv, ctx)
     raise ValueError(f"unknown marker method {mp.method}")

@@ -1,0 +1,129 @@
+"""End-to-end run_lmem + formula front-end + IO tests."""
+import os
+
+import numpy as np
+import pytest
+
+import nextgp_tpu as ng
+from nextgp_tpu.api.formula import parse_formula
+from nextgp_tpu.io.summary import ess_bulk, read_samples, split_rhat, summary_mcmc
+from nextgp_tpu.runtime import run_lmem
+
+
+def _data(rng, n=120, p=48):
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    gc = g - g.mean(0)
+    beta = rng.normal(0, 0.2, p)
+    herd = rng.integers(1, 4, n)
+    y = 1.0 + 0.5 * (herd == 2) + gc @ beta + rng.normal(0, 1, n)
+    return g, y, herd, beta, gc
+
+
+def test_run_lmem_end_to_end(rng, tmp_path):
+    g, y, herd, beta, gc = _data(rng)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(len(y)))],
+        markers=[ng.MarkerTerm("M1", ng.from_array(g), ng.BayesPR(9999, 0.04))],
+        block_size=16,
+    )
+    out = str(tmp_path / "out")
+    res = run_lmem(spec, n_chain=300, n_burn=100, n_thin=10, out_folder=out, seed=1)
+    assert res.draws["betaM1"].shape == (20, 48)
+    assert res.sweeps_per_sec > 0
+    # files mirror the reference layout (<name>Out, header + rows)
+    b = read_samples("b", out)
+    assert b.shape == (20, 1)
+    m = summary_mcmc("betaM1", out)
+    np.testing.assert_allclose(m, res.posterior_mean("betaM1"), rtol=1e-6)
+    ve = read_samples("varE", out)
+    assert np.isfinite(ve).all()
+    # posterior mean EBV tracks the truth
+    ebv = gc @ res.posterior_mean("betaM1")
+    assert np.corrcoef(ebv, gc @ beta)[0, 1] > 0.6
+
+
+def test_formula_front_end(rng, tmp_path):
+    g, y, herd, beta, gc = _data(rng)
+    n = len(y)
+    data = {
+        "y": y,
+        "herd": herd,  # int -> categorical (prepMatVec.jl:47-51)
+        "age": rng.normal(30, 5, n),  # float -> centered
+    }
+    spec = parse_formula(
+        "y ~ 1 + herd + age + SNP(geno)",
+        data,
+        priors={"geno": ng.BayesC(0.3, 0.05, estimatePi=True)},
+        genotypes={"geno": g},
+        block_size=16,
+    )
+    assert [t.name for t in spec.fixed] == ["1", "herd", "age"] or spec.fixed[0].name == "intercept"
+    assert spec.fixed[1].n_col == 2  # 3 levels dummy-coded
+    plan, state = ng.assemble(spec)
+    assert plan.markers[0].method == "BayesC"
+    res = run_lmem(spec, 100, 40, 10, out_folder=None, seed=0)
+    assert np.isfinite(res.draws["varE"]).all()
+
+
+def test_formula_random_and_hints(rng):
+    g, y, herd, beta, gc = _data(rng)
+    data = {"y": y, "herd": herd}
+    spec = parse_formula(
+        "y ~ 1 + (1|herd) + SNP(geno)",
+        data,
+        priors={"herd": ng.Random("I", 0.5), "geno": ng.BayesPR(9999, 0.04)},
+        genotypes={"geno": g},
+        block_size=16,
+    )
+    assert len(spec.random) == 1
+    assert spec.random[0].levels == [1, 2, 3]
+    plan, _ = ng.assemble(spec)
+    assert plan.random[0].q == 3
+
+
+def test_formula_gblup_path(rng):
+    g, y, herd, beta, gc = _data(rng, n=60)
+    spec = parse_formula(
+        "y ~ 1 + SNP(geno)",
+        {"y": y},
+        priors={"geno": ng.Random("G", 0.3)},
+        genotypes={"geno": g},
+    )
+    assert len(spec.markers) == 0
+    assert len(spec.random) == 1 and spec.random[0].structure_label == "G"
+    plan, state = ng.assemble(spec)
+    assert plan.random[0].q == 60
+
+
+def test_formula_pedigree(rng, tmp_path):
+    # small pedigree: 2 founders + 4 offspring, phenotypes on all 6
+    ped_file = tmp_path / "ped.txt"
+    ped_file.write_text(
+        "id sire dam\na 0 0\nb 0 0\nc a b\nd a b\ne a c\nf d c\n"
+    )
+    ids = ["a", "b", "c", "d", "e", "f"]
+    y = rng.normal(0, 1, 6)
+    spec = parse_formula(
+        "y ~ 1 + PED(ID)",
+        {"y": y, "ID": np.array(ids)},
+        priors={"ID": ng.Random("A", 0.5)},
+        path2ped=str(ped_file),
+    )
+    assert len(spec.random) == 1
+    assert spec.random[0].ivstr.shape == (6, 6)
+    plan, state = ng.assemble(spec)
+    res = run_lmem(spec, 100, 20, 10, out_folder=None)
+    assert res.draws["uID"].shape[1] == 6
+
+
+def test_rhat_ess_diagnostics(rng):
+    chains = rng.normal(0, 1, (4, 200, 3))
+    r = split_rhat(chains)
+    assert np.all(r < 1.05)
+    e = ess_bulk(chains)
+    assert np.all(e > 100)
+    # a stuck chain inflates rhat
+    bad = chains.copy()
+    bad[0] += 5.0
+    assert split_rhat(bad)[0] > 1.5
