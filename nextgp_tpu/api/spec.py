@@ -69,12 +69,24 @@ class MarkerTerm:
 
 
 @dataclasses.dataclass
+class CorrMarkerTerm:
+    """Correlated marker sets sharing loci (reference tuple key (M1, M2),
+    mme.jl:448-489): a joint (co)variance per region across sets. Only the
+    BayesPR prior applies (matrix-valued v), as in the reference."""
+
+    names: Tuple[str, ...]
+    datas: Tuple[MarkerData, ...]
+    prior: Any  # BayesPR with matrix v (nT x nT)
+
+
+@dataclasses.dataclass
 class ModelSpec:
     y: np.ndarray
     fixed: List[FixedTerm] = dataclasses.field(default_factory=list)
     blocks: List[Tuple[str, ...]] = dataclasses.field(default_factory=list)
     random: List[RandomTerm] = dataclasses.field(default_factory=list)
     markers: List[MarkerTerm] = dataclasses.field(default_factory=list)
+    corr_markers: List[CorrMarkerTerm] = dataclasses.field(default_factory=list)
     residual: Optional[RandomEffect] = None  # prior for "e" (key :e)
     summary_stats: Dict[Any, SummaryStatistics] = dataclasses.field(default_factory=dict)
     block_size: int = 256
@@ -92,6 +104,13 @@ class ModelSpec:
         for t in self.markers:
             if t.data.n_ind != n:
                 raise ValueError(f"marker set {t.name}: {t.data.n_ind} rows != {n}")
+        for ct in self.corr_markers:
+            ps = {d.n_snp for d in ct.datas}
+            if len(ps) != 1:
+                raise ValueError(f"correlated marker sets {ct.names} must share loci")
+            for d in ct.datas:
+                if d.n_ind != n:
+                    raise ValueError(f"correlated marker sets {ct.names}: bad row count")
         names = [t.name for t in self.fixed]
         for blk in self.blocks:
             for b in blk:

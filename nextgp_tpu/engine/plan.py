@@ -86,6 +86,18 @@ class MarkerPlan:
 
 
 @dataclasses.dataclass(frozen=True)
+class CorrMarkerPlan:
+    names: Tuple[str, ...]
+    n_t: int
+    p: int
+    p_pad: int
+    block: int
+    n_blocks: int
+    n_regions: int
+    df: float
+
+
+@dataclasses.dataclass(frozen=True)
 class SweepPlan:
     n: int
     e_df: float
@@ -94,6 +106,7 @@ class SweepPlan:
     random: Tuple[RandomPlan, ...]
     markers: Tuple[MarkerPlan, ...]
     dtype: str
+    corr_markers: Tuple[CorrMarkerPlan, ...] = ()
 
     @property
     def jdtype(self):
@@ -415,6 +428,80 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     return ms, mp
 
 
+def _build_corr_marker(term, block, dtype):
+    """Correlated marker sets (mme.jl:448-489): per-locus stacked columns,
+    (nT, nT) cross-Gram blocks, shared map, BayesPR-only semantics."""
+    from ..api.priors import BayesPR
+    from .state import CorrMarkerState
+
+    prior = term.prior
+    if not isinstance(prior, BayesPR):
+        raise ValueError("correlated marker sets support only the BayesPR prior")
+    datas = term.datas
+    n_t = len(datas)
+    n, p = datas[0].n_ind, datas[0].n_snp
+    maps = [d.chr_ids for d in datas]
+    chr_ids = maps[0]
+    for m in maps[1:]:  # mme.jl:453 requires one shared map
+        if (m is None) != (chr_ids is None) or (
+            m is not None and not np.array_equal(m, chr_ids)
+        ):
+            raise ValueError("correlated marker sets must have the same map file")
+    vmat = np.asarray(prior.v, dtype=np.float64)
+    if vmat.shape != (n_t, n_t):
+        raise ValueError("correlated marker prior v must be nT x nT")
+    df = 3.0 + n_t
+    scale = vmat * (df - n_t - 1.0)
+
+    block = min(block, max(8, 1 << (p - 1).bit_length()))
+    p_pad = cdiv(p, block) * block
+    nb = p_pad // block
+    info = build_regions(p, prior.r, chr_ids)
+    region_id = np.concatenate([info.region_id, np.full(p_pad - p, info.n_regions, np.int32)])
+
+    g = np.stack([d.genotypes for d in datas])  # (nT, n, p)
+    centers = np.stack([d.center for d in datas])  # (nT, p)
+    mt = np.zeros((nb * block, n_t, n), dtype=g.dtype)
+    mt[:p] = np.transpose(g, (2, 0, 1))
+    mt = mt.reshape(nb, block, n_t, n)
+    center_b = np.zeros((nb * block, n_t))
+    center_b[:p] = centers.T
+    center_b = center_b.reshape(nb, block, n_t)
+    mask = np.zeros(nb * block, bool)
+    mask[:p] = True
+
+    mt_dev = jnp.asarray(mt)
+    cb_dev = jnp.asarray(center_b, dtype)
+
+    @jax.jit
+    def grams(mt_d, cb_d):
+        def one(args):
+            mtb, cbb = args  # (B, nT, n), (B, nT)
+            mcb = mtb.astype(dtype) - cbb[..., None]
+            return jnp.einsum("ltn,mun->lmtu", mcb, mcb)
+        return lax.map(one, (mt_d, cb_d))
+
+    gram = grams(mt_dev, cb_dev)  # (nb, B, B, nT, nT)
+    mpm = jnp.einsum("blltu->bltu", gram)
+
+    st = CorrMarkerState(
+        mt=mt_dev,
+        center=cb_dev,
+        gram=gram.astype(dtype),
+        mpm=mpm.astype(dtype),
+        mask=jnp.asarray(mask.reshape(nb, block)),
+        region_id=jnp.asarray(region_id),
+        beta=jnp.zeros((p_pad, n_t), dtype),
+        var_beta=jnp.broadcast_to(jnp.asarray(vmat, dtype), (info.n_regions, n_t, n_t)).copy(),
+        scale=jnp.asarray(scale, dtype),
+    )
+    pl_ = CorrMarkerPlan(
+        names=tuple(term.names), n_t=n_t, p=p, p_pad=p_pad, block=block,
+        n_blocks=nb, n_regions=info.n_regions, df=df,
+    )
+    return st, pl_
+
+
 def assemble(
     spec: ModelSpec,
     dtype=None,
@@ -478,6 +565,12 @@ def assemble(
         marker_states.append(st)
         marker_plans.append(pl)
 
+    corr_states, corr_plans = [], []
+    for t in getattr(spec, "corr_markers", []):
+        st, pl_ = _build_corr_marker(t, bs, dtype)
+        corr_states.append(st)
+        corr_plans.append(pl_)
+
     state = ModelState(
         y=jnp.asarray(y, dtype),
         ycorr=jnp.asarray(y, dtype),
@@ -490,6 +583,7 @@ def assemble(
         random=tuple(random_states),
         markers=tuple(marker_states),
         sweep_index=jnp.asarray(0, jnp.int32),
+        corr_markers=tuple(corr_states),
     )
     plan = SweepPlan(
         n=n,
@@ -499,5 +593,6 @@ def assemble(
         random=tuple(random_plans),
         markers=tuple(marker_plans),
         dtype=str(dtype),
+        corr_markers=tuple(corr_plans),
     )
     return plan, state

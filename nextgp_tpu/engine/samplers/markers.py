@@ -634,6 +634,82 @@ def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     )
 
 
+# ------------------------------------------------------ correlated marker sets
+
+
+def sample_corr_marker_set(key, ms, cp, ycorr, var_e, ctx: ShardCtx = UNSHARDED):
+    """Correlated marker sets, PR semantics (functions.jl:140-154): per-locus
+    MvNormal across the nT sets, per-region InverseWishart covariance
+    (sampleVarCovBetaPR, functions.jl:513-516). rhs has no summary stats and
+    no weighting, as in the reference."""
+    from ...ops.dists import sample_inv_wishart
+
+    dtype = ycorr.dtype
+    n_t = cp.n_t
+    kz, kv = jax.random.split(key)
+    nb_l = ms.mpm.shape[0]
+    p_l = nb_l * cp.block
+    z_full = jax.random.normal(kz, (cp.p_pad, n_t), dtype)
+    z = ctx.slice_p(z_full, p_l)
+    ive = 1.0 / var_e
+    ivr = jnp.linalg.inv(ms.var_beta)  # (n_regions, nT, nT)
+    ivr_locus = ivr[jnp.clip(ms.region_id, 0, cp.n_regions - 1)]  # (p_l, nT, nT)
+
+    zb = z.reshape(nb_l, cp.block, n_t)
+    ivb = ivr_locus.reshape(nb_l, cp.block, n_t, n_t)
+
+    def block_body(ycorr, xs):
+        mtb, cb, gramb, mpmb, maskb, bold_b, zjb, ivbb = xs
+        mtf = mtb.astype(dtype)  # (B, nT, n)
+        sumy = jnp.sum(ycorr)
+        r0 = jnp.einsum("ltn,n->lt", mtf, ycorr) - cb * sumy  # (B, nT)
+
+        def body(u, xsj):
+            j, r0j, bold, zj, ivbj, mpmj, maskj = xsj
+            u = u.at[j].set(bold)
+            pre = r0j + jnp.einsum("buv,bv->u", gramb[j], u)
+            lhs = mpmj * ive + ivbj
+            cov = jnp.linalg.inv(lhs)
+            cov = (cov + jnp.swapaxes(cov, -1, -2)) / 2.0
+            mean = cov @ (pre * ive)
+            bnew = mean + jnp.linalg.cholesky(cov) @ zj
+            bnew = jnp.where(maskj, bnew, 0.0)
+            u = u.at[j].set(bold - bnew)
+            return u, bnew
+
+        u0 = jnp.zeros((cp.block, n_t), dtype)
+        u, beta_new_b = lax.scan(
+            body, u0,
+            (jnp.arange(cp.block), r0, bold_b, zjb, ivbb, mpmb, maskb))
+        correction = jnp.einsum("lt,ltn->n", u, mtf) - jnp.einsum("lt,lt->", u, cb)
+        return ycorr + ctx.psum(correction), beta_new_b
+
+    xs = (ms.mt, ms.center, ms.gram, ms.mpm, ms.mask,
+          ms.beta.reshape(nb_l, cp.block, n_t), zb, ivb)
+    ycorr, beta_b = lax.scan(block_body, ycorr, xs)
+    beta = beta_b.reshape(p_l, n_t)
+
+    # per-region InverseWishart (functions.jl:152, :513-516)
+    outer = beta[:, :, None] * beta[:, None, :]
+    sb = ctx.psum(
+        jax.ops.segment_sum(
+            outer.reshape(p_l, -1), ms.region_id, num_segments=cp.n_regions + 1
+        )[: cp.n_regions].reshape(cp.n_regions, n_t, n_t)
+    )
+    sizes = ctx.psum(
+        jax.ops.segment_sum(
+            ms.mask.reshape(-1).astype(dtype), ms.region_id, num_segments=cp.n_regions + 1
+        )[: cp.n_regions]
+    )
+    keys = jax.random.split(kv, cp.n_regions)
+    s_full = ms.scale[None] + sb
+    s_full = (s_full + jnp.swapaxes(s_full, -1, -2)) / 2.0
+    var_beta = jax.vmap(lambda k, d, s: sample_inv_wishart(k, d, s))(
+        keys, cp.df + sizes, s_full
+    ).astype(dtype)
+    return replace(ms, beta=beta, var_beta=var_beta), ycorr
+
+
 # ------------------------------------------------------------------ dispatch
 
 

@@ -102,6 +102,24 @@ class MarkerState:
 
 
 @pytree_dataclass
+class CorrMarkerState:
+    """Correlated marker sets, tuple key (M1, M2) in the reference
+    (mme.jl:448-489; sampler functions.jl:140-154). Per locus the nT sets'
+    columns form an (n, nT) block; the block-Gram carries (nT, nT)
+    cross-products so the in-block scan stays exact."""
+
+    mt: Array  # (nb, B, nT, n) raw dosages
+    center: Array  # (nb, B, nT)
+    gram: Array  # (nb, B, B, nT, nT) centered cross-Grams
+    mpm: Array  # (nb, B, nT, nT) per-locus M_l' M_l
+    mask: Array  # (nb, B) bool
+    region_id: Array  # (p_pad,) int32
+    beta: Array  # (p_pad, nT)
+    var_beta: Array  # (n_regions, nT, nT)
+    scale: Array  # (nT, nT)
+
+
+@pytree_dataclass
 class ResidualState:
     """Residual variance bookkeeping (mme.jl:62-94). var_e is re-drawn each
     sweep from ycorr, so only priors + optional weights live here."""
@@ -120,3 +138,4 @@ class ModelState:
     random: Tuple[Any, ...]  # RandomState | CorrRandomState
     markers: Tuple[MarkerState, ...]
     sweep_index: Array  # () int32 — for checkpoint/resume key derivation
+    corr_markers: Tuple[CorrMarkerState, ...] = ()

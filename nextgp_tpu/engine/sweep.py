@@ -20,7 +20,7 @@ from ..utils import replace
 from . import rng
 from .plan import SweepPlan
 from .samplers.fixed import sample_fixed_block
-from .samplers.markers import sample_marker_set
+from .samplers.markers import sample_corr_marker_set, sample_marker_set
 from .samplers.random_effects import sample_random_corr, sample_random_uni
 from .samplers.residual import sample_var_e
 from .state import ModelState
@@ -59,6 +59,12 @@ def make_sweep(plan: SweepPlan):
             ms, ycorr = sample_marker_set(k, ms, mp, ycorr, var_e, state.e.d_inv)
             markers.append(ms)
 
+        corr_markers = []
+        for i, (cs, cp) in enumerate(zip(state.corr_markers, plan.corr_markers)):
+            k = rng.stage_key(skey, rng.STAGE_MARKER, len(plan.markers) + i)
+            cs, ycorr = sample_corr_marker_set(k, cs, cp, ycorr, var_e)
+            corr_markers.append(cs)
+
         return replace(
             state,
             ycorr=ycorr,
@@ -66,6 +72,7 @@ def make_sweep(plan: SweepPlan):
             fixed=tuple(fixed),
             random=tuple(random),
             markers=tuple(markers),
+            corr_markers=tuple(corr_markers),
             sweep_index=state.sweep_index + 1,
         )
 
@@ -97,6 +104,10 @@ def collect_sample(state: ModelState, plan: SweepPlan) -> Dict[str, Any]:
         if mp.method == "BayesLV":
             out[f"c{mp.name}"] = ms.lv_c
             out[f"varZeta{mp.name}"] = ms.var_zeta
+    for cs, cp in zip(state.corr_markers, plan.corr_markers):
+        for t, nm in enumerate(cp.names):
+            out[f"beta{nm}"] = cs.beta[: cp.p, t]
+        out[f"var{'_'.join(cp.names)}"] = cs.var_beta.reshape(cp.n_regions, -1)
     return out
 
 

@@ -240,6 +240,8 @@ def _sweep_local(plan: SweepPlan, state: ModelState, chain_key, ctx: ShardCtx) -
 
 
 def make_sharded_sweep(plan: SweepPlan, mesh: Mesh, n_sweeps: int = 1):
+    if plan.corr_markers:
+        raise NotImplementedError("correlated marker sets are single-device for now")
     """Build jitted f(batched_state, chain_keys) -> batched_state running
     `n_sweeps` sweeps on the mesh. chain_keys: (n_chains,) typed keys.
 
@@ -274,6 +276,8 @@ def make_sharded_sweep(plan: SweepPlan, mesh: Mesh, n_sweeps: int = 1):
 
 def distribute(plan: SweepPlan, state: ModelState, mesh: Mesh, n_chains: int):
     """Batch the state over chains and lay it out on the mesh."""
+    if state.corr_markers:
+        raise NotImplementedError("correlated marker sets are single-device for now")
     batched = batch_state(plan, state, n_chains)
     specs = state_specs(plan, batched)
     out = jax.tree.map(

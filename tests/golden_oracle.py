@@ -91,6 +91,19 @@ class Oracle:
                 m[f] = None if v is None else _np(v) if v.dtype != jnp.bool_ else np.asarray(v)
             self.markers.append(m)
 
+        self.corr_markers = []
+        for cs, cp, term in zip(state.corr_markers, plan.corr_markers,
+                                getattr(spec, "corr_markers", [])):
+            mcs = [d.centered(np.float64) for d in term.datas]
+            self.corr_markers.append(
+                dict(cp=cp, mcs=mcs,
+                     mpm=_np(cs.mpm).reshape(cp.p_pad, cp.n_t, cp.n_t)[: cp.p],
+                     region=np.asarray(cs.region_id)[: cp.p],
+                     beta=_np(cs.beta)[: cp.p],
+                     var_beta=_np(cs.var_beta),
+                     scale=_np(cs.scale))
+            )
+
     # ---------------------------------------------------------------- sweep
 
     def sweep(self, chain_key):
@@ -111,6 +124,10 @@ class Oracle:
             self._random(RNG.stage_key(skey, RNG.STAGE_RANDOM, i), r)
         for i, m in enumerate(self.markers):
             self._marker(RNG.stage_key(skey, RNG.STAGE_MARKER, i), m)
+        for i, cm in enumerate(self.corr_markers):
+            self._marker_corr(
+                RNG.stage_key(skey, RNG.STAGE_MARKER, len(self.markers) + i), cm
+            )
         self.sweep_index += 1
 
     # ---------------------------------------------------------------- stages
@@ -424,6 +441,35 @@ class Oracle:
         if mp.est_pi:
             m["pi_hat"] = _np(dists.sample_dirichlet(kp, jnp.asarray(counts + 1.0)))
             m["log_pi"] = np.log(m["pi_hat"])
+
+    def _marker_corr(self, key, cm):
+        """Correlated PR tuple (functions.jl:140-154)."""
+        cp = cm["cp"]
+        kz, kv = jax.random.split(key)
+        z = _np(jax.random.normal(kz, (cp.p_pad, cp.n_t)))
+        ive = 1.0 / self.var_e
+        ivr = np.linalg.inv(cm["var_beta"])  # (nR, nT, nT)
+        for j in range(cp.p):
+            r = cm["region"][j]
+            cols = np.stack([mc[:, j] for mc in cm["mcs"]], axis=1)  # (n, nT)
+            self.ycorr += cols @ cm["beta"][j]
+            rhs = (cols.T @ self.ycorr) * ive
+            lhs = cm["mpm"][j] * ive + ivr[r]
+            cov = np.linalg.inv(lhs)
+            cov = (cov + cov.T) / 2.0
+            mean = cov @ rhs
+            cm["beta"][j] = mean + np.linalg.cholesky(cov) @ z[j]
+            self.ycorr -= cols @ cm["beta"][j]
+        keys = jax.random.split(kv, cp.n_regions)
+        sizes = np.bincount(cm["region"], minlength=cp.n_regions).astype(float)
+        for r in range(cp.n_regions):
+            sel = cm["beta"][cm["region"] == r]
+            sb = sel.T @ sel
+            s = cm["scale"] + sb
+            s = (s + s.T) / 2.0
+            cm["var_beta"][r] = _np(
+                dists.sample_inv_wishart(keys[r], cp.df + sizes[r], jnp.asarray(s))
+            )
 
     def _marker_lv(self, key, m):
         mp = m["mp"]

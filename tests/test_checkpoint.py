@@ -1,0 +1,56 @@
+"""Exact-resume test (SURVEY.md §5 checkpoint/resume row)."""
+import numpy as np
+import jax
+
+import nextgp_tpu as ng
+from nextgp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_exact_resume(rng, tmp_path):
+    n, p = 60, 32
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = (g - g.mean(0)) @ rng.normal(0, 0.2, p) + rng.normal(0, 1, n)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M1", ng.from_array(g),
+                 ng.BayesR([0.8, 0.1, 0.1], [0.0, 1e-3, 1e-2], 1.0, estimatePi=True))],
+        block_size=16,
+    )
+    plan, state = ng.assemble(spec)
+    sweep = jax.jit(ng.make_sweep(plan))
+    key = jax.random.key(4)
+
+    s = state
+    for _ in range(5):
+        s = sweep(s, key)
+    ckpt = str(tmp_path / "chain.npz")
+    save_checkpoint(ckpt, s)
+    for _ in range(5):
+        s = sweep(s, key)
+
+    # resume from sweep 5 and continue — must reproduce sweep 10 exactly
+    s2 = load_checkpoint(ckpt, state)
+    assert int(s2.sweep_index) == 5
+    for _ in range(5):
+        s2 = sweep(s2, key)
+    assert jax.numpy.array_equal(s.markers[0].beta, s2.markers[0].beta)
+    assert jax.numpy.array_equal(s.ycorr, s2.ycorr)
+    assert jax.numpy.array_equal(s.markers[0].delta, s2.markers[0].delta)
+    assert float(s.e.var_e) == float(s2.e.var_e)
+
+
+def test_checkpoint_shape_guard(rng, tmp_path):
+    n, p = 40, 16
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = rng.normal(0, 1, n)
+    spec = ng.ModelSpec(y=y, markers=[ng.MarkerTerm("M1", ng.from_array(g), None)], block_size=8)
+    plan, state = ng.assemble(spec)
+    ckpt = str(tmp_path / "c.npz")
+    save_checkpoint(ckpt, state)
+    spec2 = ng.ModelSpec(y=y[:20], markers=[ng.MarkerTerm("M1", ng.from_array(g[:20]), None)], block_size=8)
+    _, state2 = ng.assemble(spec2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_checkpoint(ckpt, state2)

@@ -191,6 +191,47 @@ def test_bayeslv(rng):
     )
 
 
+def test_correlated_marker_sets(rng):
+    """Tuple (M1, M2) BayesPR path (mme.jl:448-489, functions.jl:140-154)."""
+    n, p = 60, 32
+    g1 = rng.integers(0, 3, (n, p)).astype(float)
+    g2 = rng.integers(0, 3, (n, p)).astype(float)
+    y = (
+        1.0
+        + (g1 - g1.mean(0)) @ rng.normal(0, 0.15, p)
+        + (g2 - g2.mean(0)) @ rng.normal(0, 0.1, p)
+        + rng.normal(0, 1, n)
+    )
+    v = np.array([[0.02, 0.005], [0.005, 0.015]])
+    from nextgp_tpu.api.spec import CorrMarkerTerm
+
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        corr_markers=[
+            CorrMarkerTerm(("M1", "M2"), (ng.from_array(g1), ng.from_array(g2)), ng.BayesPR(9999, v))
+        ],
+        block_size=16,
+    )
+    plan, state = ng.assemble(spec)
+    oracle = Oracle(plan, state, spec)
+    sweep = jax.jit(ng.make_sweep(plan))
+    key = jax.random.key(13)
+    for _ in range(3):
+        state = sweep(state, key)
+        oracle.sweep(key)
+    cp = plan.corr_markers[0]
+    np.testing.assert_allclose(
+        np.asarray(state.corr_markers[0].beta[: cp.p]),
+        oracle.corr_markers[0]["beta"], rtol=1e-8, atol=1e-8,
+    )
+    np.testing.assert_allclose(np.asarray(state.ycorr), oracle.ycorr, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(state.corr_markers[0].var_beta),
+        oracle.corr_markers[0]["var_beta"], rtol=1e-8,
+    )
+
+
 def test_fixed_block_and_random_effect(rng):
     n = 80
     g, y = _sim(rng, n=n, p=32)
