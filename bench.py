@@ -37,14 +37,30 @@ def main():
     block = int(os.environ.get("NG_BENCH_BLOCK", 512))
     n_sweeps = int(os.environ.get("NG_BENCH_SWEEPS", 50))
 
+    # simulate ON DEVICE: the remote-TPU tunnel uploads at only a few MB/s at
+    # production sizes, so the int8 genotype matrix (0.5-30 GB) never leaves
+    # the chip; only y (n floats) is pulled back for the ModelSpec.
+    import jax.numpy as jnp
+    from nextgp_tpu.data.ingest import from_device_array
+
     rng = np.random.default_rng(0)
-    g = rng.integers(0, 3, (n, p)).astype(np.int8)
-    # simulate phenotype cheaply in f32 (sim cost excluded from the metric)
-    causal = rng.choice(p, 500, replace=False)
-    bt = np.zeros(p, np.float32)
-    bt[causal] = rng.normal(0, 0.1, 500).astype(np.float32)
-    sig = g.astype(np.float32) @ bt
-    y = (sig - sig.mean() + rng.normal(0, 1.0, n).astype(np.float32)).astype(np.float64)
+
+    @jax.jit
+    def simulate(key):
+        kg, kb, ke = jax.random.split(key, 3)
+        g = jax.random.randint(kg, (n, p), 0, 3, jnp.int8)
+        gf = g.astype(jnp.float32)
+        bt = jnp.where(
+            jax.random.uniform(kb, (p,)) < 500.0 / p,
+            jax.random.normal(kb, (p,)) * 0.1,
+            0.0,
+        )
+        sig = gf @ bt
+        y = sig - jnp.mean(sig) + jax.random.normal(ke, (n,))
+        return g, y
+
+    g_dev, y_dev = simulate(jax.random.key(0))
+    y = np.asarray(jax.device_get(y_dev), np.float64)
 
     spec = ng.ModelSpec(
         y=y,
@@ -52,7 +68,7 @@ def main():
         markers=[
             ng.MarkerTerm(
                 "M1",
-                ng.from_array(g),
+                from_device_array(g_dev),
                 ng.BayesR([0.9, 0.05, 0.03, 0.02], [0.0, 1e-4, 1e-3, 1e-2], 1.0, estimatePi=True),
             )
         ],

@@ -21,9 +21,20 @@ from .api.priors import (  # noqa: F401
     RandomEffect,
     SummaryStatistics,
 )
-from .api.spec import FixedTerm, MarkerTerm, ModelSpec, RandomTerm  # noqa: F401
-from .data.ingest import MarkerData, from_array, read_genotype_file  # noqa: F401
+from .api.formula import parse_formula  # noqa: F401
+from .api.spec import CorrMarkerTerm, FixedTerm, MarkerTerm, ModelSpec, RandomTerm  # noqa: F401
+from .data.grm import make_g, make_g_inverse  # noqa: F401
+from .data.ingest import (  # noqa: F401
+    MarkerData,
+    from_array,
+    from_float_array,
+    read_genotype_file,
+    read_plink,
+)
+from .data.pedigree import build_pedigree, make_a, read_pedigree  # noqa: F401
 from .engine.plan import assemble  # noqa: F401
 from .engine.sweep import make_sweep  # noqa: F401
+from .io.summary import ess_bulk, posterior_stats, split_rhat, summary_mcmc  # noqa: F401
+from .runtime import LMEMResult, prep, run_lmem  # noqa: F401
 
 __version__ = "0.1.0"

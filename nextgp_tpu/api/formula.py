@@ -125,6 +125,7 @@ def parse_formula(
     # pedigree: order phenotypes to pedigree order (prepMatVec.jl:88-99)
     ped: Optional[Pedigree] = None
     ainv = None
+    row_order: Optional[np.ndarray] = None
     if path2ped:
         ped = read_pedigree(path2ped) if isinstance(path2ped, str) else path2ped
         ids = [str(v) for v in fr["ID"]]
@@ -132,8 +133,8 @@ def parse_formula(
         if not set(ids) <= set(ped_ids):
             raise ValueError("phenotyped individuals are not a subset of pedigree")  # misc.jl:106
         pos = {v: i for i, v in enumerate(ped_ids)}
-        order = np.argsort([pos[v] for v in ids], kind="stable")
-        fr.reorder(order)
+        row_order = np.argsort([pos[v] for v in ids], kind="stable")
+        fr.reorder(row_order)
         ainv = a_inverse(ped)
 
     y = np.asarray(fr[lhs], dtype=np.float64)
@@ -157,6 +158,14 @@ def parse_formula(
             src = msnp.group(2)
             mapf = msnp.group(3)
             md = _resolve_markers(name, src, mapf, genotypes)
+            if row_order is not None:
+                # deviation from the reference, which reads genotype rows
+                # as-is after re-sorting phenotypes (prepMatVec.jl:88-99,116)
+                # and thus silently misaligns unless the file is already in
+                # pedigree order: genotype rows follow the data permutation.
+                import dataclasses as _dc
+
+                md = _dc.replace(md, genotypes=md.genotypes[row_order])
             prior = priors.get(name)
             if isinstance(prior, RandomEffect) and str(prior.str_) == "G":
                 # GBLUP path (prepMatVec.jl:123-127)

@@ -1,0 +1,194 @@
+"""Command-line runner: declarative config -> MCMC run.
+
+The reference has no CLI or config system — everything is `runLMEM(...)`
+keyword arguments in a Julia session (`/root/reference/src/MCMC.jl:31`).
+Here a JSON (or TOML) config compiles to the same pipeline:
+
+    python -m nextgp_tpu run analysis.json
+    python -m nextgp_tpu summary betaM --out-folder outMCMC
+    python -m nextgp_tpu roofline analysis.json --device v5e
+
+Config schema (all paths relative to the config file):
+
+    {
+      "formula":   "y ~ 1 + sex + (1|herd) + PED(ID) + SNP(M)",
+      "data":      "pheno.csv",                  # CSV with header
+      "pedigree":  "ped.txt",                    # optional
+      "genotypes": {"M": "geno.txt"},            # per SNP(name) term
+      "priors":    {"M":  {"type": "BayesR", "pi": [0.9,0.1], "class": [0.0,0.01], "v": 1.0},
+                    "ID": {"type": "Random", "str": "A", "v": 0.5},
+                    "e":  {"type": "Random", "str": "I", "v": 1.0}},
+      "blocks":    [["x1", "x2"]],               # joint fixed-effect blocks
+      "hints":     {"farm": "full_dummy"},
+      "chain":     {"length": 50000, "burnin": 5000, "thin": 10, "seed": 1},
+      "block_size": 512,
+      "out_folder": "outMCMC"
+    }
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+from typing import Any, Dict
+
+import numpy as np
+
+from .api import priors as P
+
+
+def _load_config(path: str) -> Dict[str, Any]:
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as fh:
+            return tomllib.load(fh)
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _read_csv(path: str) -> Dict[str, np.ndarray]:
+    """Header CSV -> dict of columns with numeric inference (the reference
+    uses CSV.read + DataFrame, MCMC.jl docs examples)."""
+    with open(path, newline="") as fh:
+        sniff = csv.Sniffer().sniff(fh.read(4096), delimiters=",;\t ")
+        fh.seek(0)
+        rows = list(csv.reader(fh, dialect=sniff))
+    header, body = rows[0], [r for r in rows[1:] if r]
+    cols: Dict[str, np.ndarray] = {}
+    for j, name in enumerate(header):
+        vals = [r[j] for r in body]
+        try:
+            ivals = [int(v) for v in vals]
+            cols[name] = np.asarray(ivals)
+            continue
+        except ValueError:
+            pass
+        try:
+            cols[name] = np.asarray([float(v) for v in vals])
+        except ValueError:
+            cols[name] = np.asarray(vals)
+    return cols
+
+
+_PRIOR_BUILDERS = {
+    "BayesPR": lambda d: P.BayesPR(d.get("r", 9999), d["v"]),
+    "BayesA": lambda d: P.BayesPR(1, d["v"]),
+    "BayesB": lambda d: P.BayesB(d["pi"], d["v"], estimatePi=d.get("estimatePi", False)),
+    "BayesC": lambda d: P.BayesC(d["pi"], d["v"], estimatePi=d.get("estimatePi", False)),
+    "BayesR": lambda d: P.BayesR(
+        d["pi"], d.get("class", d.get("class_")), d["v"], estimatePi=d.get("estimatePi", False)
+    ),
+    "BayesRCpi": lambda d: P.BayesRCpi(
+        d["pi"], d.get("class", d.get("class_")), d["v"], np.asarray(d["annot"]),
+        estimatePi=d.get("estimatePi", False),
+    ),
+    "BayesRCplus": lambda d: P.BayesRCplus(
+        d["pi"], d.get("class", d.get("class_")), d["v"], np.asarray(d["annot"]),
+        estimatePi=d.get("estimatePi", False),
+    ),
+    "BayesLV": lambda d: P.BayesLV(
+        d["v"], np.asarray(d["covariates"], dtype=np.float64), d["varZeta"],
+        estimateVarZeta=d.get("estimateVarZeta", False),
+    ),
+    "Random": lambda d: P.RandomEffect(d.get("str", "I"), d["v"], type=d.get("type_g", 1)),
+}
+
+
+def _build_prior(d: Any):
+    if not isinstance(d, dict):
+        return d
+    t = d.get("type")
+    if t not in _PRIOR_BUILDERS:
+        raise ValueError(f"unknown prior type {t!r}; one of {sorted(_PRIOR_BUILDERS)}")
+    return _PRIOR_BUILDERS[t](d)
+
+
+def _spec_from_config(cfg: Dict[str, Any], base: str):
+    from .api.formula import parse_formula
+
+    def rel(p):
+        return p if os.path.isabs(p) else os.path.join(base, p)
+
+    data = _read_csv(rel(cfg["data"]))
+    priors = {k: _build_prior(v) for k, v in (cfg.get("priors") or {}).items()}
+    genotypes = {k: rel(v) if isinstance(v, str) else v for k, v in (cfg.get("genotypes") or {}).items()}
+    return parse_formula(
+        cfg["formula"],
+        data,
+        priors=priors,
+        hints=cfg.get("hints"),
+        path2ped=rel(cfg["pedigree"]) if cfg.get("pedigree") else None,
+        blocks=[tuple(b) for b in cfg.get("blocks", [])],
+        block_size=int(cfg.get("block_size", 256)),
+        genotypes=genotypes,
+    )
+
+
+def cmd_run(args) -> int:
+    from .runtime import run_lmem
+
+    cfg = _load_config(args.config)
+    base = os.path.dirname(os.path.abspath(args.config))
+    spec = _spec_from_config(cfg, base)
+    ch = cfg.get("chain", {})
+    out_folder = cfg.get("out_folder", "outMCMC")
+    if not os.path.isabs(out_folder):
+        out_folder = os.path.join(base, out_folder)
+    res = run_lmem(
+        spec,
+        n_chain=int(ch.get("length", 5000)),
+        n_burn=int(ch.get("burnin", 1000)),
+        n_thin=int(ch.get("thin", 10)),
+        out_folder=out_folder,
+        seed=int(ch.get("seed", 0)),
+        keep_in_memory=False,
+        progress=not args.quiet,
+    )
+    print(f"done: {res.sweeps_per_sec:.1f} sweeps/s, output in {out_folder}")
+    return 0
+
+
+def cmd_summary(args) -> int:
+    from .io.summary import summary_mcmc
+
+    means = summary_mcmc(args.param, out_folder=args.out_folder)
+    np.savetxt(sys.stdout, np.atleast_1d(means)[None], fmt="%.6g", delimiter="\t")
+    return 0
+
+
+def cmd_roofline(args) -> int:
+    from .diag import roofline
+    from .engine.plan import assemble
+
+    cfg = _load_config(args.config)
+    spec = _spec_from_config(cfg, os.path.dirname(os.path.abspath(args.config)))
+    plan, _ = assemble(spec)
+    print(roofline(plan, device=args.device, n_shards=args.shards))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="nextgp_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("run", help="run an MCMC analysis from a config file")
+    r.add_argument("config")
+    r.add_argument("--quiet", action="store_true")
+    r.set_defaults(fn=cmd_run)
+    s = sub.add_parser("summary", help="posterior means of a tracked quantity")
+    s.add_argument("param")
+    s.add_argument("--out-folder", default="outMCMC")
+    s.set_defaults(fn=cmd_summary)
+    rf = sub.add_parser("roofline", help="analytic per-sweep roofline for a config")
+    rf.add_argument("config")
+    rf.add_argument("--device", default="v5e")
+    rf.add_argument("--shards", type=int, default=1)
+    rf.set_defaults(fn=cmd_roofline)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

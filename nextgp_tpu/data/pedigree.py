@@ -112,7 +112,16 @@ def build_pedigree(ids, sires, dams) -> Pedigree:
 def inbreeding_meuwissen_luo(sire: np.ndarray, dam: np.ndarray) -> np.ndarray:
     """Inbreeding coefficients by the Meuwissen & Luo (1992) L-matrix
     algorithm (PedigreeBase.get_inb equivalent, misc.jl:108). O(n * depth^2)
-    worst case; linear for shallow pedigrees."""
+    worst case; linear for shallow pedigrees.
+
+    Routed through the native C++ kernel when available (identical
+    algorithm, native/src/nextgp_native.cpp:ng_inbreeding_ml)."""
+    from .. import native
+
+    if native.available():
+        from ..native import api as nat
+
+        return nat.inbreeding(np.asarray(sire), np.asarray(dam))
     n = len(sire)
     f = np.zeros(n + 1)  # f[0] slot unused; work 1-based internally
     s = sire + 1
@@ -171,6 +180,15 @@ def a_inverse(ped: Pedigree) -> np.ndarray:
     """
     n = ped.n
     f = ped.inbreeding
+    from .. import native
+
+    if native.available():
+        from ..native import api as nat
+
+        ri, ci, v = nat.ainverse_triplets(ped.sire, ped.dam, f)
+        ainv = np.zeros((n, n))
+        np.add.at(ainv, (ri, ci), v)
+        return ainv
     ainv = np.zeros((n, n))
     for i in range(n):
         si, di = ped.sire[i], ped.dam[i]
@@ -190,6 +208,28 @@ def a_inverse(ped: Pedigree) -> np.ndarray:
             ainv[si, di] += alpha / 4.0
             ainv[di, si] += alpha / 4.0
     return ainv
+
+
+def a_inverse_coo(ped: Pedigree):
+    """A-inverse as summed COO triplets (rows, cols, vals) — the sparse form
+    for production pedigrees where the dense (n, n) of `a_inverse` would not
+    fit. Entries with duplicate (i, j) are summed."""
+    from .. import native
+
+    if native.available():
+        from ..native import api as nat
+
+        ri, ci, v = nat.ainverse_triplets(ped.sire, ped.dam, ped.inbreeding)
+    else:
+        dense = a_inverse(ped)
+        ri, ci = np.nonzero(dense)
+        return ri, ci, dense[ri, ci]
+    n = ped.n
+    lin = ri * n + ci
+    uniq, inv = np.unique(lin, return_inverse=True)
+    vals = np.zeros(len(uniq))
+    np.add.at(vals, inv, v)
+    return uniq // n, uniq % n, vals
 
 
 def make_a(sire, dam) -> np.ndarray:

@@ -250,16 +250,32 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     nb = p_pad // block
 
     g = md.genotypes  # (n, p) int8 or f32
-    center = md.center.astype(np.float64)
+    if isinstance(g, jax.Array):
+        # device-resident genotypes (e.g. synthetic benches): blockify with
+        # jnp so nothing round-trips the host (the remote-device transfer is
+        # minutes at 600k-SNP scale).
+        center_d = jnp.asarray(md.center)
+        pad = p_pad - p
+        gT = g.T
+        if pad:
+            gT = jnp.concatenate([gT, jnp.zeros((pad, n), gT.dtype)])
+            center_d = jnp.concatenate([center_d, jnp.zeros((pad,), center_d.dtype)])
+        mt = gT.reshape(nb, block, n)
+        center_b = center_d.reshape(nb, block).astype(dtype)
+        mt_dev = mt
+        cb_dev = center_b
+    else:
+        center = md.center.astype(np.float64)
 
-    # blocked transposed storage
-    mt = _blockify(np.ascontiguousarray(g.T), p_pad, nb, block)
-    center_b = _blockify(center, p_pad, nb, block, dtype=dtype)
+        # blocked transposed storage
+        mt = _blockify(np.ascontiguousarray(g.T), p_pad, nb, block)
+        center_b = _blockify(center, p_pad, nb, block, dtype=dtype)
 
-    # centered Gram blocks computed on-device (MXU): host f64 matmuls take
-    # minutes at production scale. Under x64 (tests) this is still exact f64.
-    mt_dev = jnp.asarray(mt)
-    cb_dev = jnp.asarray(_blockify(center, p_pad, nb, block), dtype)
+        # centered Gram blocks computed on-device (MXU): host f64 matmuls
+        # take minutes at production scale. Under x64 (tests) this is still
+        # exact f64.
+        mt_dev = jnp.asarray(mt)
+        cb_dev = jnp.asarray(_blockify(center, p_pad, nb, block), dtype)
     di_dev = None if d_inv is None else jnp.asarray(d_inv, dtype)
 
     @jax.jit

@@ -33,36 +33,41 @@ def make_sweep(plan: SweepPlan):
         skey = rng.sweep_key(chain_key, state.sweep_index)
         ycorr = state.ycorr
 
-        var_e = sample_var_e(
-            rng.stage_key(skey, rng.STAGE_VAR_E), state.e, ycorr, plan.n, plan.e_df
-        )
+        with jax.named_scope("gibbs.var_e"):
+            var_e = sample_var_e(
+                rng.stage_key(skey, rng.STAGE_VAR_E), state.e, ycorr, plan.n, plan.e_df
+            )
 
         fixed = []
         for i, (fs, fp) in enumerate(zip(state.fixed, plan.fixed)):
-            b, ycorr = sample_fixed_block(
-                rng.stage_key(skey, rng.STAGE_FIXED, i), fs, ycorr, var_e, fp.single
-            )
+            with jax.named_scope(f"gibbs.fixed.{i}"):
+                b, ycorr = sample_fixed_block(
+                    rng.stage_key(skey, rng.STAGE_FIXED, i), fs, ycorr, var_e, fp.single
+                )
             fixed.append(replace(fs, b=b))
 
         random = []
         for i, (rs, rp) in enumerate(zip(state.random, plan.random)):
             k = rng.stage_key(skey, rng.STAGE_RANDOM, i)
-            if rp.correlated:
-                u, var_u, ycorr = sample_random_corr(k, rs, ycorr, var_e, rp.df)
-            else:
-                u, var_u, ycorr = sample_random_uni(k, rs, ycorr, var_e, rp.df)
+            with jax.named_scope(f"gibbs.random.{i}"):
+                if rp.correlated:
+                    u, var_u, ycorr = sample_random_corr(k, rs, ycorr, var_e, rp.df)
+                else:
+                    u, var_u, ycorr = sample_random_uni(k, rs, ycorr, var_e, rp.df)
             random.append(replace(rs, u=u, var_u=var_u))
 
         markers = []
         for i, (ms, mp) in enumerate(zip(state.markers, plan.markers)):
             k = rng.stage_key(skey, rng.STAGE_MARKER, i)
-            ms, ycorr = sample_marker_set(k, ms, mp, ycorr, var_e, state.e.d_inv)
+            with jax.named_scope(f"gibbs.marker.{mp.name}"):
+                ms, ycorr = sample_marker_set(k, ms, mp, ycorr, var_e, state.e.d_inv)
             markers.append(ms)
 
         corr_markers = []
         for i, (cs, cp) in enumerate(zip(state.corr_markers, plan.corr_markers)):
             k = rng.stage_key(skey, rng.STAGE_MARKER, len(plan.markers) + i)
-            cs, ycorr = sample_corr_marker_set(k, cs, cp, ycorr, var_e)
+            with jax.named_scope("gibbs.corr_marker"):
+                cs, ycorr = sample_corr_marker_set(k, cs, cp, ycorr, var_e)
             corr_markers.append(cs)
 
         return replace(

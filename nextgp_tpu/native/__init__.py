@@ -1,0 +1,94 @@
+"""Native host runtime: ctypes bindings over libnextgp_native.so.
+
+The shared library is compiled from `src/nextgp_native.cpp` on first use
+(g++ -O3, std::thread parallelism) and cached next to the source. Every
+caller in the package degrades gracefully to the pure-Python implementation
+when no compiler is available (`lib()` returns None), so the native layer is
+an accelerator, never a hard dependency.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+from typing import Optional
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "nextgp_native.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "libnextgp_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+ABI_VERSION = 1
+
+
+def _compile() -> bool:
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [
+        cxx, "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-o", _SO, _SRC,
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=240)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _bind(dll: ctypes.CDLL) -> ctypes.CDLL:
+    c = ctypes
+    i8p, i64p, f64p = (
+        c.POINTER(c.c_int8),
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_double),
+    )
+    dll.ng_version.restype = c.c_int32
+    dll.ng_geno_dims.restype = c.c_int32
+    dll.ng_geno_dims.argtypes = [c.c_char_p, i64p, i64p]
+    dll.ng_geno_parse.restype = c.c_int32
+    dll.ng_geno_parse.argtypes = [c.c_char_p, c.c_int64, c.c_int64, i8p, f64p, i64p]
+    dll.ng_bed_read.restype = c.c_int32
+    dll.ng_bed_read.argtypes = [c.c_char_p, c.c_int64, c.c_int64, i8p, f64p, i64p]
+    dll.ng_inbreeding_ml.restype = c.c_int32
+    dll.ng_inbreeding_ml.argtypes = [i64p, i64p, c.c_int64, f64p]
+    dll.ng_ainverse_triplets.restype = c.c_int64
+    dll.ng_ainverse_triplets.argtypes = [i64p, i64p, f64p, c.c_int64, i64p, i64p, f64p]
+    dll.ng_write_tsv_block.restype = c.c_int32
+    dll.ng_write_tsv_block.argtypes = [c.c_char_p, f64p, c.c_int64, c.c_int64]
+    return dll
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, compiling it if needed; None on failure
+    or when NEXTGP_NO_NATIVE is set."""
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried or os.environ.get("NEXTGP_NO_NATIVE"):
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        fresh = (
+            os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+        )
+        if not fresh and not _compile():
+            return None
+        try:
+            dll = _bind(ctypes.CDLL(_SO))
+            if dll.ng_version() != ABI_VERSION:
+                if not _compile():
+                    return None
+                dll = _bind(ctypes.CDLL(_SO))
+            _lib = dll
+        except OSError:
+            _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return lib() is not None

@@ -1,0 +1,57 @@
+"""CLI runner: config -> run -> summary round-trip."""
+import json
+import os
+
+import numpy as np
+
+from nextgp_tpu import cli
+
+
+def test_cli_run_and_summary(tmp_path, rng, capsys):
+    n, p = 60, 40
+    g = rng.integers(0, 3, (n, p))
+    sex = rng.integers(0, 2, n)
+    y = 1.0 + 0.5 * sex + (g - g.mean(0)) @ rng.normal(0, 0.2, p) + rng.normal(0, 1, n)
+
+    with open(tmp_path / "pheno.csv", "w") as fh:
+        fh.write("y,sex\n")
+        for i in range(n):
+            fh.write(f"{y[i]},{sex[i]}\n")
+    np.savetxt(tmp_path / "geno.txt", g, fmt="%d")
+    cfg = {
+        "formula": "y ~ 1 + sex + SNP(M)",
+        "data": "pheno.csv",
+        "genotypes": {"M": "geno.txt"},
+        "priors": {
+            "M": {"type": "BayesC", "pi": 0.1, "v": 0.05, "estimatePi": True},
+            "e": {"type": "Random", "str": "I", "v": 1.0},
+        },
+        "chain": {"length": 60, "burnin": 20, "thin": 10, "seed": 2},
+        "block_size": 16,
+        "out_folder": "out",
+    }
+    cfg_path = tmp_path / "analysis.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    rc = cli.main(["run", str(cfg_path), "--quiet"])
+    assert rc == 0
+    out = tmp_path / "out"
+    assert (out / "betaMOut").exists() and (out / "piMOut").exists()
+
+    rc = cli.main(["summary", "betaM", "--out-folder", str(out)])
+    assert rc == 0
+    captured = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(captured.split("\t")) == p
+
+    rc = cli.main(["roofline", str(cfg_path)])
+    assert rc == 0
+    assert "roofline" in capsys.readouterr().out
+
+
+def test_cli_prior_errors(tmp_path):
+    assert "BayesR" in cli._PRIOR_BUILDERS
+    try:
+        cli._build_prior({"type": "Nope"})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "unknown prior" in str(e)

@@ -107,3 +107,41 @@ def test_ingest_genotype_file(tmp_path, rng):
     md = ingest.read_genotype_file(str(path))
     assert md.genotypes.shape == (8, 6)
     np.testing.assert_array_equal(md.genotypes, m.astype(np.int8))
+
+
+def test_device_array_assembly_matches_host(rng):
+    """from_device_array + assemble produces the same chain as the host path."""
+    import jax
+    import jax.numpy as jnp
+
+    import nextgp_tpu as ng
+    from nextgp_tpu.data.ingest import from_device_array
+
+    n, p = 50, 40
+    g = rng.integers(0, 3, (n, p)).astype(np.int8)
+    y = rng.normal(0, 1, n)
+    prior = ng.BayesR([0.9, 0.05, 0.05], [0.0, 0.01, 0.1], 1.0)
+
+    def build(md):
+        spec = ng.ModelSpec(
+            y=y,
+            fixed=[ng.FixedTerm("int", np.ones(n))],
+            markers=[ng.MarkerTerm("M", md, prior)],
+            block_size=16,
+        )
+        return ng.assemble(spec)
+
+    plan_h, st_h = build(ingest.from_array(g.astype(float)))
+    plan_d, st_d = build(from_device_array(jnp.asarray(g)))
+    np.testing.assert_allclose(
+        np.asarray(st_h.markers[0].gram), np.asarray(st_d.markers[0].gram), atol=1e-9
+    )
+    key = jax.random.key(5)
+    sweep_h = jax.jit(ng.make_sweep(plan_h))
+    sweep_d = jax.jit(ng.make_sweep(plan_d))
+    for _ in range(3):
+        st_h = sweep_h(st_h, key)
+        st_d = sweep_d(st_d, key)
+    np.testing.assert_allclose(
+        np.asarray(st_h.markers[0].beta), np.asarray(st_d.markers[0].beta), atol=1e-9
+    )
