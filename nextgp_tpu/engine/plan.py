@@ -83,6 +83,10 @@ class MarkerPlan:
     weighted: bool
     n_lv_cov: int
     use_pallas: bool = False  # route in-block scans through the TPU kernels
+    # virtual shards: V block chains advance per block-step (the on-chip
+    # analog of the multi-device schedule; chains match a V-device run).
+    # 1 = reference-sequential scan order.
+    vshards: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -240,7 +244,8 @@ def _method_of(prior):
     }[type(prior)]
 
 
-def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=False):
+def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=False,
+                  vshards=1):
     md = term.data
     prior = term.prior
     method = _method_of(prior)
@@ -394,11 +399,34 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     def dev(a, dt=dtype):
         return None if a is None else jnp.asarray(a, dt)
 
+    # resolve virtual shards now: storage layout depends on it
+    vsh = (
+        max(v for v in range(1, int(vshards) + 1) if nb % v == 0)
+        if vshards and vshards > 1 and method != METHOD_RCPLUS
+        else 1
+    )
+    mt_store = jnp.asarray(mt)  # keep int8 (or f32) storage dtype
+    center_store = jnp.asarray(center_b, dtype)
+    gram_store = jnp.asarray(gram, dtype)
+    graw_store = dev(gram_raw)
+    if vsh > 1:
+        # vshard storage layout (engine/samplers/markers.py V-path): block
+        # g = v*T + t lives at step t, shard v. mt (T, V, B, n); gram
+        # locus-major (T, B, V, B) so the in-kernel slice at locus j is a
+        # contiguous (V, B) tile. Laid out once here so the sweep's scan
+        # consumes pure slices — no per-step gather or transpose.
+        T_ = nb // vsh
+        mt_store = mt_store.reshape(vsh, T_, block, n).transpose(1, 0, 2, 3)
+        center_store = center_store.reshape(vsh, T_, block).transpose(1, 0, 2)
+        gram_store = gram_store.reshape(vsh, T_, block, block).transpose(1, 2, 0, 3)
+        if graw_store is not None:
+            graw_store = graw_store.reshape(vsh, T_, block, block).transpose(1, 2, 0, 3)
+
     ms = MarkerState(
-        mt=jnp.asarray(mt),  # keep int8 (or f32) storage dtype
-        center=jnp.asarray(center_b, dtype),
-        gram=jnp.asarray(gram, dtype),
-        gram_raw=dev(gram_raw),
+        mt=mt_store,
+        center=center_store,
+        gram=gram_store,
+        gram_raw=graw_store,
         mpm=jnp.asarray(mpm, dtype),
         lhs_ss=jnp.asarray(_blockify(lhs, p_pad, nb, block), dtype),
         rhs_ss=jnp.asarray(_blockify(rhs, p_pad, nb, block), dtype),
@@ -440,6 +468,7 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
         weighted=d_inv is not None,
         n_lv_cov=n_lv_cov,
         use_pallas=use_pallas and method in (METHOD_PR, METHOD_B, METHOD_C, METHOD_R, METHOD_LV),
+        vshards=vsh,
     )
     return ms, mp
 
@@ -523,12 +552,19 @@ def assemble(
     dtype=None,
     block_size: Optional[int] = None,
     use_pallas: Optional[bool] = None,
+    vshards: int = 1,
 ):
     """Build (SweepPlan, ModelState) from a validated ModelSpec.
 
     use_pallas: None -> auto (on when the default backend is TPU). The
     Pallas path samples the same chain as the pure-JAX path from the same
     random streams (up to f32 associativity).
+
+    vshards: V > 1 advances V marker blocks per block-step on one chip (the
+    same schedule a V-device sharded run uses; fills the VPU sublanes and
+    cuts the sequential chain length per sweep by V). The per-draw chain
+    then differs from the V=1 reference-sequential order, so golden tests
+    keep V=1; posterior moments are unaffected.
     """
     spec.validate()
     dtype = jnp.dtype(dtype or default_real_dtype())
@@ -576,7 +612,8 @@ def assemble(
     bs = block_size or spec.block_size
     for t in spec.markers:
         st, pl = _build_marker(
-            t, d_inv, spec.summary_stats.get(t.name), bs, dtype, rng, use_pallas=use_pallas
+            t, d_inv, spec.summary_stats.get(t.name), bs, dtype, rng,
+            use_pallas=use_pallas, vshards=vshards,
         )
         marker_states.append(st)
         marker_plans.append(pl)

@@ -116,11 +116,19 @@ def _interpret_pallas() -> bool:
 
 
 def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
-                   scan_impl=None):
+                   scan_impl=None, vshards=1, scan_impl_v=None):
     """Outer scan over (local) marker blocks; carries the replicated ycorr.
 
     scan_impl overrides the in-block scan (the Pallas kernel path); default
     wraps the pure-JAX _block_scan around locus_fn.
+
+    vshards=V > 1 advances V block chains per step (virtual shards): shard v
+    owns the contiguous blocks [v*T, (v+1)*T), T = nb/V, and the residual
+    synchronizes at block-step boundaries — the on-chip analog of the
+    multi-device schedule in parallel/sharded.py. The per-draw chain matches
+    a V-device run, not the V=1 sequential order. scan_impl then receives
+    (V, B, ...) arguments and must return (V, B)-shaped results; outputs are
+    re-ordered back to the global flat locus order before returning.
     """
     use_raw = need_raw and d_inv is not None
 
@@ -129,27 +137,82 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
             return _block_scan(gramb, grawb, r0, r0_raw, beta_old_b, lxs,
                                locus_fn, dtype)
 
+    graw = ms.gram_raw if ms.gram_raw is not None else ms.gram
+    nb = ms.mpm.shape[0]
+    V = vshards if vshards and vshards > 1 and nb % max(vshards, 1) == 0 else 1
+
+    if V == 1:
+        leaves = (ms.mt, ms.center, ms.gram, graw,
+                  ms.beta.reshape(ms.mpm.shape), locus_xs)
+
+        def block_body(ycorr, xs):
+            mtb, cb, gramb, grawb, beta_old_b, lxs = xs
+            mtf = mtb.astype(dtype)
+            if d_inv is not None:
+                yw = d_inv * ycorr
+                r0 = mtf @ yw - cb * jnp.sum(yw)
+                r0_raw = (mtf @ ycorr - cb * jnp.sum(ycorr)) if use_raw else None
+            else:
+                r0 = mtf @ ycorr - cb * jnp.sum(ycorr)
+                r0_raw = None
+            u, beta_new_b, outs = scan_impl(
+                gramb, grawb if use_raw else None, r0, r0_raw, beta_old_b, lxs)
+            correction = u @ mtf - jnp.dot(u, cb)
+            ycorr = ycorr + ctx.psum(correction)
+            return ycorr, (beta_new_b, outs)
+
+        ycorr, (beta_new, outs) = lax.scan(block_body, ycorr, leaves)
+        return ycorr, beta_new.reshape(-1), outs
+
+    # ---- virtual-shard path. Storage layouts (engine/plan.py): mt
+    # (T, V, B, n), center (T, V, B), gram/gram_raw locus-major (T, B, V, B).
+    # Small per-sweep arrays are re-grouped here (cheap); the big leaves are
+    # consumed as pure scan slices.
+    T = nb // V
+    B = ms.mpm.shape[1]
+    n = ms.mt.shape[-1]
+
+    def group(a):  # (nb, B, ...) -> (T, V, B, ...), block g = v*T + t
+        return jnp.swapaxes(a.reshape((V, T) + a.shape[1:]), 0, 1)
+
+    beta_g = group(ms.beta.reshape(nb, B))
+    lxs_g = jax.tree.map(group, locus_xs)
+
+    def vscan(gram_t, graw_t, r0, r0_raw, beta_old_b, lxs):
+        # gram_t is locus-major (B, V, B): vmap over the shard axis 1
+        def one(g, gr, r, rr, bo, lx):
+            return scan_impl(g, gr, r, rr, bo, lx)
+
+        in2 = 1 if graw_t is not None else None
+        in4 = 0 if r0_raw is not None else None
+        return jax.vmap(one, in_axes=(1, in2, 0, in4, 0, 0))(
+            gram_t, graw_t, r0, r0_raw, beta_old_b, lxs)
+
     def block_body(ycorr, xs):
-        mtb, cb, gramb, grawb, beta_old_b, lxs = xs
-        mtf = mtb.astype(dtype)
+        mtb, cb, gram_t, graw_t, beta_old_b, lxs = xs
+        mtf = mtb.astype(dtype).reshape(V * B, n)
         if d_inv is not None:
             yw = d_inv * ycorr
-            r0 = mtf @ yw - cb * jnp.sum(yw)
-            r0_raw = (mtf @ ycorr - cb * jnp.sum(ycorr)) if use_raw else None
+            r0 = (mtf @ yw).reshape(V, B) - cb * jnp.sum(yw)
+            r0_raw = ((mtf @ ycorr).reshape(V, B) - cb * jnp.sum(ycorr)) if use_raw else None
         else:
-            r0 = mtf @ ycorr - cb * jnp.sum(ycorr)
+            r0 = (mtf @ ycorr).reshape(V, B) - cb * jnp.sum(ycorr)
             r0_raw = None
-        u, beta_new_b, outs = scan_impl(
-            gramb, grawb if use_raw else None, r0, r0_raw, beta_old_b, lxs)
-        correction = u @ mtf - jnp.dot(u, cb)
+        impl = scan_impl_v if scan_impl_v is not None else vscan
+        u, beta_new_b, outs = impl(
+            gram_t, graw_t if use_raw else None, r0, r0_raw, beta_old_b, lxs)
+        correction = u.reshape(-1) @ mtf - jnp.vdot(u, cb)
         ycorr = ycorr + ctx.psum(correction)
         return ycorr, (beta_new_b, outs)
 
-    graw = ms.gram_raw if ms.gram_raw is not None else ms.gram
-    xs = (ms.mt, ms.center, ms.gram, graw,
-          ms.beta.reshape(ms.mpm.shape), locus_xs)
+    xs = (ms.mt, ms.center, ms.gram, graw, beta_g, lxs_g)
     ycorr, (beta_new, outs) = lax.scan(block_body, ycorr, xs)
-    return ycorr, beta_new.reshape(-1), outs
+    # (T, V, B, ...) -> global flat order (shard-major: v*T + t)
+    beta = jnp.swapaxes(beta_new, 0, 1).reshape(-1)
+    outs = jax.tree.map(
+        lambda a: jnp.swapaxes(a, 0, 1).reshape((nb * B,) + a.shape[3:]), outs
+    )
+    return ycorr, beta, outs
 
 
 # ------------------------------------------------------------------ BayesPR
@@ -175,7 +238,7 @@ def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
         bnew = rhs / lhs + zj * jnp.sqrt(1.0 / lhs)
         return jnp.where(maskj, bnew, 0.0), None
 
-    scan_impl = None
+    scan_impl = scan_impl_v = None
     if mp.use_pallas:
         interp = _interpret_pallas()
         pk = gibbs_kernels.gauss_block_pack(
@@ -189,8 +252,14 @@ def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
             beta_new, u = gibbs_kernels.gauss_block_scan(gramb, pk_b, interpret=interp)
             return u.astype(dtype), beta_new.astype(dtype), None
 
+        def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
+            beta_new, u = gibbs_kernels.gauss_block_scan_v(gramb, pk_b, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), None
+
     ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
-                                    scan_impl=scan_impl)
+                                    scan_impl=scan_impl, vshards=mp.vshards,
+                                    scan_impl_v=scan_impl_v)
 
     # region variance update (functions.jl:135, sampleVarBetaPR :509-511)
     ss = ctx.psum(
@@ -244,7 +313,7 @@ def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool, ctx):
         bnew = jnp.where(inc & maskj, b_inc, 0.0)
         return bnew, (inc & maskj)
 
-    scan_impl = None
+    scan_impl = scan_impl_v = None
     if mp.use_pallas and d_inv is None:  # weighted rrr path stays in JAX
         interp = _interpret_pallas()
         pk = gibbs_kernels.bc_block_pack(
@@ -258,8 +327,14 @@ def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool, ctx):
             beta_new, u, delta = gibbs_kernels.bc_block_scan(gramb, pk_b, interpret=interp)
             return u.astype(dtype), beta_new.astype(dtype), delta > 0
 
+        def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
+            beta_new, u, delta = gibbs_kernels.bc_block_scan_v(gramb, pk_b, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), delta > 0
+
     ycorr, beta, inc = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, True, ctx,
-                                      scan_impl=scan_impl)
+                                      scan_impl=scan_impl, vshards=mp.vshards,
+                                      scan_impl_v=scan_impl_v)
     delta = inc.reshape(-1).astype(jnp.int32)
     n_in = ctx.psum(jnp.sum(delta))
 
@@ -319,7 +394,7 @@ def _sweep_r(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
         delta = jnp.where(maskj, cls + 1, 0)
         return bnew, delta.astype(jnp.int32)
 
-    scan_impl = None
+    scan_impl = scan_impl_v = None
     if mp.use_pallas:
         interp = _interpret_pallas()
         pk = gibbs_kernels.r_block_pack(
@@ -333,8 +408,15 @@ def _sweep_r(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
                 gramb, pk_b, K, interpret=interp)
             return u.astype(dtype), beta_new.astype(dtype), delta
 
+        def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
+            beta_new, u, delta = gibbs_kernels.r_block_scan_v(
+                gramb, pk_b, K, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), delta
+
     ycorr, beta, delta_b = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
-                                          scan_impl=scan_impl)
+                                          scan_impl=scan_impl, vshards=mp.vshards,
+                                          scan_impl_v=scan_impl_v)
     delta = delta_b.reshape(-1)
     cls0 = jnp.clip(delta - 1, 0, K - 1)
     vsel = ms.v_class[cls0]
@@ -414,7 +496,8 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
         acat = jnp.where(maskj, a_sel + 1, 0).astype(jnp.int32)
         return bnew, (delta, acat, aprob_new)
 
-    ycorr, beta, outs = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx)
+    ycorr, beta, outs = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
+                                       vshards=mp.vshards)
     delta = outs[0].reshape(-1)
     acat = outs[1].reshape(-1)
     annot_prob = outs[2].reshape(p_l, nA)
@@ -569,7 +652,7 @@ def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
         bnew = rhs / lhs + zj * jnp.sqrt(1.0 / lhs)
         return jnp.where(maskj, bnew, 0.0), None
 
-    scan_impl = None
+    scan_impl = scan_impl_v = None
     if mp.use_pallas:
         interp = _interpret_pallas()
         pk = gibbs_kernels.gauss_block_pack(
@@ -583,8 +666,14 @@ def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
             beta_new, u = gibbs_kernels.gauss_block_scan(gramb, pk_b, interpret=interp)
             return u.astype(dtype), beta_new.astype(dtype), None
 
+        def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
+            beta_new, u = gibbs_kernels.gauss_block_scan_v(gramb, pk_b, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), None
+
     ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
-                                    scan_impl=scan_impl)
+                                    scan_impl=scan_impl, vshards=mp.vshards,
+                                    scan_impl_v=scan_impl_v)
 
     # ---- per-locus variance: bounded-uniform slice draw (functions.jl:444-470)
     vz = ms.var_zeta

@@ -199,7 +199,12 @@ def est_grn(
     dtype=None,
 ):
     """estGRN_MHGibbs equivalent (GRN.jl:14-145). x: (nSNP, nInd) dosages;
-    y: (nGenes, nInd) expression. Returns (acceptance count, draws dict)."""
+    y: (nGenes, nInd) expression. Returns (acceptance count, draws dict).
+
+    snp_per_gene is accepted for signature parity: the reference builds cis
+    windows from it (SNPList, GRN.jl:32-38) but its sampleΛ2! nevertheless
+    loops over ALL SNPs for every gene (GRN.jl:150-164) — SNPList is dead
+    code there, and this implementation matches the executed behavior."""
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)

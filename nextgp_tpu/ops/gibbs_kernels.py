@@ -217,3 +217,146 @@ def r_block_pack(beta_old, z, unif, mpm, lss, rss, mask, varc, logpi, ive, var_e
 def r_block_scan(gram, pk_b, n_classes, interpret=False):
     beta, u, delta = _call(_make_r_kernel(n_classes), gram, pk_b, 1, interpret)
     return beta[:, 0], u[0], delta[:, 0]
+
+
+# ------------------------------------------------- batched (virtual-shard) scans
+#
+# V independent block chains advance together: one scan step updates locus j
+# of every virtual shard, so the per-step VPU tiles are (V, B) — V=8 fills
+# the sublane dimension that the single-chain kernels leave idle. This is
+# the on-chip analog of the multi-device sharded schedule (parallel/
+# sharded.py): shard v owns contiguous blocks [v*T, (v+1)*T) and the
+# residual syncs at block-step boundaries via the summed correction.
+#
+# Layout: gram arrives locus-major (B, V, B) — pre-arranged at assemble time
+# (engine/plan.py vshard storage) so the in-kernel dynamic slice at locus j
+# yields a contiguous (V, B) tile with zero per-step transposes; pk is small
+# and transposed here. beta/delta accumulate in the carry as (V, B) register
+# tiles (single store at the end) instead of per-iteration scatter stores.
+
+
+def _call_v(kernel, gram_t, pk_t, n_extra_out=0, interpret=False):
+    B, V, _ = gram_t.shape
+    outs = [
+        jax.ShapeDtypeStruct((V, B), F32),  # beta
+        jax.ShapeDtypeStruct((V, B), F32),  # u
+    ] + [jax.ShapeDtypeStruct((V, B), jnp.int32)] * n_extra_out
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(outs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
+        interpret=interpret,
+    )(gram_t.astype(F32), pk_t.astype(F32))
+
+
+def _gauss_kernel_v(gram_ref, pk_ref, beta_ref, u_ref):
+    V, B = u_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (V, B), 1)
+
+    def body(j, carry):
+        u, beta = carry
+        s = pk_ref[pl.ds(j, 1), :, :][0]  # (V, W)
+        row = gram_ref[pl.ds(j, 1), :, :][0]  # (V, B)
+        pre = s[:, 0] + jnp.sum(row * u, axis=-1)
+        bnew = s[:, 3] + s[:, 2] * pre
+        sel = lane == j
+        u = jnp.where(sel, (s[:, 1] - bnew)[:, None], u)
+        beta = jnp.where(sel, bnew[:, None], beta)
+        return u, beta
+
+    u, beta = jax.lax.fori_loop(
+        0, B, body, (jnp.zeros((V, B), F32), jnp.zeros((V, B), F32))
+    )
+    beta_ref[:, :] = beta
+    u_ref[:, :] = u
+
+
+def gauss_block_scan_v(gram_t, pk, interpret=False):
+    """gram_t locus-major (B,V,B), pk (V,B,8) -> beta (V,B), u (V,B)."""
+    pk_t = jnp.swapaxes(pk, 0, 1)  # (B, V, W)
+    beta, u = _call_v(_gauss_kernel_v, gram_t, pk_t, 0, interpret)
+    return beta, u
+
+
+def _bc_kernel_v(gram_ref, pk_ref, beta_ref, u_ref, delta_ref):
+    V, B = u_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (V, B), 1)
+
+    def body(j, carry):
+        u, beta, delta = carry
+        s = pk_ref[pl.ds(j, 1), :, :][0]  # (V, W)
+        row = gram_ref[pl.ds(j, 1), :, :][0]
+        pre = s[:, 0] + jnp.sum(row * u, axis=-1)
+        inc = s[:, 2] + s[:, 3] * pre * pre < s[:, 4]
+        bnew = jnp.where(inc, s[:, 6] + s[:, 5] * pre, 0.0)
+        sel = lane == j
+        u = jnp.where(sel, (s[:, 1] - bnew)[:, None], u)
+        beta = jnp.where(sel, bnew[:, None], beta)
+        delta = jnp.where(sel, inc.astype(jnp.int32)[:, None], delta)
+        return u, beta, delta
+
+    u, beta, delta = jax.lax.fori_loop(
+        0, B, body,
+        (jnp.zeros((V, B), F32), jnp.zeros((V, B), F32), jnp.zeros((V, B), jnp.int32)),
+    )
+    beta_ref[:, :] = beta
+    u_ref[:, :] = u
+    delta_ref[:, :] = delta
+
+
+def bc_block_scan_v(gram_t, pk, interpret=False):
+    pk_t = jnp.swapaxes(pk, 0, 1)
+    beta, u, delta = _call_v(_bc_kernel_v, gram_t, pk_t, 1, interpret)
+    return beta, u, delta
+
+
+def _make_r_kernel_v(K):
+    def _r_kernel_v(gram_ref, pk_ref, beta_ref, u_ref, delta_ref):
+        V, B = u_ref.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (V, B), 1)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (V, K), 1)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        tri = ki <= kj  # tri[i, k]: class i contributes to cum[k]
+
+        def body(j, carry):
+            u, beta, delta = carry
+            s = pk_ref[pl.ds(j, 1), :, :][0]  # (V, 8+4K)
+            row = gram_ref[pl.ds(j, 1), :, :][0]
+            pre = s[:, 0] + jnp.sum(row * u, axis=-1)  # (V,)
+            q0 = s[:, 8:8 + K]
+            q1 = s[:, 8 + K:8 + 2 * K]
+            bco = s[:, 8 + 2 * K:8 + 3 * K]
+            cco = s[:, 8 + 3 * K:8 + 4 * K]
+            logl = q0 + q1 * (pre * pre)[:, None]  # (V, K)
+            logl = logl - jnp.max(logl, axis=-1, keepdims=True)
+            e = jnp.exp(logl)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            # cumsum via masked sum (cumsum does not lower in Mosaic)
+            cum = jnp.sum(jnp.where(tri[None], probs[:, :, None], 0.0), axis=1)
+            cls = jnp.sum((cum < s[:, 2:3]).astype(jnp.int32), axis=-1)  # (V,)
+            sel_k = kiota == cls[:, None]
+            bnew = jnp.sum(jnp.where(sel_k, cco + bco * pre[:, None], 0.0), axis=-1)
+            dval = jnp.where(s[:, 3] != 0, cls + 1, 0).astype(jnp.int32)
+            sel = lane == j
+            u = jnp.where(sel, (s[:, 1] - bnew)[:, None], u)
+            beta = jnp.where(sel, bnew[:, None], beta)
+            delta = jnp.where(sel, dval[:, None], delta)
+            return u, beta, delta
+
+        u, beta, delta = jax.lax.fori_loop(
+            0, B, body,
+            (jnp.zeros((V, B), F32), jnp.zeros((V, B), F32), jnp.zeros((V, B), jnp.int32)),
+        )
+        beta_ref[:, :] = beta
+        u_ref[:, :] = u
+        delta_ref[:, :] = delta
+
+    return _r_kernel_v
+
+
+def r_block_scan_v(gram_t, pk, n_classes, interpret=False):
+    pk_t = jnp.swapaxes(pk, 0, 1)
+    beta, u, delta = _call_v(_make_r_kernel_v(n_classes), gram_t, pk_t, 1, interpret)
+    return beta, u, delta

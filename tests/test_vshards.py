@@ -1,0 +1,98 @@
+"""Virtual-shard schedule (assemble(vshards=V)): V block chains advance per
+block-step, the on-chip analog of the multi-device sharded sweep.
+
+Invariants tested on the 8-device-free CPU:
+  * residual consistency: ycorr always equals y - Xb - M beta exactly
+  * pure-JAX vshards == Pallas(interpret) vshards from the same streams
+  * vshards run recovers the same posterior signal as the sequential run
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nextgp_tpu as ng
+
+
+def _spec(rng, n=80, p=96, method="BayesR"):
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    gc = g - g.mean(0)
+    bt = np.zeros(p)
+    bt[rng.choice(p, 10, replace=False)] = rng.normal(0, 0.4, 10)
+    y = 1.0 + gc @ bt + rng.normal(0, 1, n)
+    priors = {
+        "BayesPR": ng.BayesPR(9999, 0.05),
+        "BayesB": ng.BayesB(0.1, 0.05, estimatePi=True),
+        "BayesC": ng.BayesC(0.1, 0.05, estimatePi=True),
+        "BayesR": ng.BayesR([0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0, estimatePi=True),
+        "BayesRCpi": ng.BayesRCpi(
+            [0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0,
+            rng.integers(0, 2, (p, 2)) | np.array([1, 0]),
+        ),
+    }
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), priors[method])],
+        block_size=16,  # nb = 6 blocks
+    )
+    return spec, gc, bt
+
+
+def _run(spec, n_sweeps=30, **kw):
+    plan, state = ng.assemble(spec, **kw)
+    sweep = jax.jit(ng.make_sweep(plan))
+    key = jax.random.key(9)
+    for _ in range(n_sweeps):
+        state = sweep(state, key)
+    return plan, state
+
+
+@pytest.mark.parametrize("method", ["BayesPR", "BayesB", "BayesC", "BayesR", "BayesRCpi"])
+def test_vshards_residual_exact(rng, method):
+    spec, gc, _ = _spec(rng, method=method)
+    plan, state = _run(spec, vshards=3)
+    assert plan.markers[0].vshards == 3
+    p = plan.markers[0].p
+    beta = np.asarray(state.markers[0].beta[:p])
+    recon = spec.y - np.asarray(state.fixed[0].b)[0] - gc @ beta
+    drift = np.abs(np.asarray(state.ycorr) - recon).max()
+    assert drift < 1e-8
+
+
+@pytest.mark.parametrize("method", ["BayesPR", "BayesB", "BayesC", "BayesR"])
+def test_vshards_pallas_matches_pure_jax(rng, method):
+    spec, _, _ = _spec(rng, method=method)
+    _, st_jax = _run(spec, n_sweeps=10, vshards=3, use_pallas=False)
+    _, st_pal = _run(spec, n_sweeps=10, vshards=3, use_pallas=True)
+    np.testing.assert_allclose(
+        np.asarray(st_jax.markers[0].beta),
+        np.asarray(st_pal.markers[0].beta),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_jax.ycorr), np.asarray(st_pal.ycorr), atol=1e-5
+    )
+
+
+def test_vshards_recovers_signal(rng):
+    spec, gc, bt = _spec(rng, n=200, p=96)
+    plan, state = ng.assemble(spec, vshards=6)
+    sweep = jax.jit(ng.make_sweep(plan))
+    key = jax.random.key(4)
+    p = plan.markers[0].p
+    bsum = np.zeros(p)
+    cnt = 0
+    for i in range(250):
+        state = sweep(state, key)
+        if i >= 100:
+            bsum += np.asarray(state.markers[0].beta[:p])
+            cnt += 1
+    corr = np.corrcoef(gc @ (bsum / cnt), gc @ bt)[0, 1]
+    assert corr > 0.75
+
+
+def test_vshards_fallback_when_indivisible(rng):
+    spec, _, _ = _spec(rng)
+    plan, _ = ng.assemble(spec, vshards=5)  # nb=6, largest divisor <= 5 is 3
+    assert plan.markers[0].vshards == 3
