@@ -202,9 +202,31 @@ def parse_formula(
         if mre:
             var = mre.group(1)
             levels, z = incidence_matrix(fr[var])
-            prior = priors.get(var) or priors.get(f"1|{var}")
+            # the reference keys iid terms as :(1|x); a bare `var` key is
+            # honored only when no PED(var) term claims it
+            prior = priors.get(f"1|{var}")
+            if prior is None and not any(
+                t.name == var and t.structure_label == "A" for t in random
+            ):
+                prior = priors.get(var)
+            # setVarCovStr! semantics (mme.jl:26-46): "I" -> identity,
+            # "A" -> pedigree A^-1, user matrix -> its inverse
+            ivstr = None
+            label = "I"
+            if prior is not None and isinstance(prior, RandomEffect):
+                s = prior.str_
+                if isinstance(s, str) and s == "A":
+                    if ainv is None:
+                        raise ValueError(f"prior for {var} uses 'A' but no path2ped given")
+                    levels, z = incidence_matrix(
+                        np.asarray([str(v) for v in fr[var]]),
+                        np.asarray([str(v) for v in ped.ids]),
+                    )
+                    ivstr, label = ainv, "A"
+                elif not isinstance(s, str) and np.ndim(s) == 2:
+                    ivstr, label = np.linalg.inv(np.asarray(s, dtype=np.float64)), "user"
             random.append(
-                RandomTerm(var, z, prior=prior, ivstr=None, levels=levels, structure_label="I")
+                RandomTerm(var, z, prior=prior, ivstr=ivstr, levels=levels, structure_label=label)
             )
             continue
         if ":" in t:  # simple interaction of two coded terms
@@ -220,6 +242,28 @@ def parse_formula(
             continue
         x, labels = _fixed_design(fr, t, centered, hints)
         fixed.append(FixedTerm(t, x, labels))
+
+    # correlated random-effect groups: tuple prior keys (mme.jl:207-239),
+    # e.g. priors={("ID", "Dam"): Random("A", v_2x2)} merges the two random
+    # terms into one group with a shared structure and matrix-valued prior
+    for key, prior in list(priors.items()):
+        if not (isinstance(key, tuple) and isinstance(prior, RandomEffect)):
+            continue
+        members = [t for t in random if t.name in key]
+        if len(members) != len(key):
+            raise ValueError(f"correlated prior {key}: unknown random terms")
+        if len({m.z.shape for m in members}) != 1:
+            raise ValueError(f"correlated prior {key}: effects must share levels")
+        ivstrs = [m.ivstr for m in members if m.ivstr is not None]
+        merged = RandomTerm(
+            name=tuple(m.name for m in members),
+            z=tuple(m.z for m in members),
+            prior=prior,
+            ivstr=ivstrs[0] if ivstrs else None,
+            levels=members[0].levels,
+            structure_label=members[0].structure_label,
+        )
+        random = [t for t in random if t.name not in key] + [merged]
 
     return ModelSpec(
         y=y,
