@@ -146,6 +146,9 @@ def cmd_run(args) -> int:
         seed=int(ch.get("seed", 0)),
         keep_in_memory=False,
         progress=not args.quiet,
+        vshards=int(cfg.get("vshards", 1)),
+        checkpoint_every=int(ch.get("checkpoint_every", 0)),
+        resume=args.resume,
     )
     print(f"done: {res.sweeps_per_sec:.1f} sweeps/s, output in {out_folder}")
     return 0
@@ -176,6 +179,8 @@ def main(argv=None) -> int:
     r = sub.add_parser("run", help="run an MCMC analysis from a config file")
     r.add_argument("config")
     r.add_argument("--quiet", action="store_true")
+    r.add_argument("--resume", action="store_true",
+                   help="continue from <out_folder>/chain.ckpt if present")
     r.set_defaults(fn=cmd_run)
     s = sub.add_parser("summary", help="posterior means of a tracked quantity")
     s.add_argument("param")

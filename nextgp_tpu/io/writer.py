@@ -62,6 +62,11 @@ class MCMCWriter:
             item = self._q.get()
             if item is None:
                 return
+            if isinstance(item, threading.Event):  # flush barrier
+                for fh in self._files.values():
+                    fh.flush()
+                item.set()
+                continue
             try:
                 for name, val in item.items():
                     self._write_row(name, np.asarray(val))
@@ -71,6 +76,12 @@ class MCMCWriter:
     def put(self, sample: Dict[str, np.ndarray]):
         # device -> host transfer happens here, off the compute path
         self._q.put({k: np.asarray(v) for k, v in sample.items()})
+
+    def flush(self):
+        """Drain queued samples and flush files (checkpoint consistency)."""
+        barrier = threading.Event()
+        self._q.put(barrier)
+        barrier.wait()
 
     def close(self):
         self._q.put(None)

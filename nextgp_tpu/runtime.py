@@ -8,6 +8,7 @@ streams to disk).
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -82,38 +83,67 @@ def run_lmem(
     dtype=None,
     keep_in_memory: bool = True,
     progress: bool = False,
+    vshards: int = 1,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> LMEMResult:
     """Single-chain MCMC mirroring runLMEM (MCMC.jl:31-41).
 
     Kept iterations are `(n_burn + n_thin) : n_thin : n_chain`
     (samplers.jl:26).
+
+    checkpoint_every=k writes `<out_folder>/chain.ckpt` every k kept samples
+    (atomic, exact-resume: counter-based keys re-derive all randomness from
+    sweep_index). resume=True restarts from that file if present — output
+    files are then appended to, not wiped.
     """
-    if out_folder:
+    from .io.checkpoint import load_checkpoint, save_checkpoint
+
+    ckpt_path = os.path.join(out_folder, "chain.ckpt") if out_folder else None
+    resuming = bool(resume and ckpt_path and os.path.exists(ckpt_path))
+    if out_folder and not resuming:
         folder_handler(out_folder)
-    plan, state = assemble(spec, dtype=dtype)
+    plan, state = assemble(spec, dtype=dtype, vshards=vshards)
     runner = make_chain_runner(plan, n_thin)
     key = jax.random.key(seed)
 
-    writer = MCMCWriter(out_folder, _headers(spec, plan)) if out_folder else None
+    done_sweeps = 0
+    if resuming:
+        state = load_checkpoint(ckpt_path, state)
+        done_sweeps = int(np.asarray(state.sweep_index))
+        if progress:
+            print(f"  resumed at sweep {done_sweeps}")
+
+    writer = (
+        MCMCWriter(out_folder, None if resuming else _headers(spec, plan))
+        if out_folder
+        else None
+    )
     draws: Dict[str, list] = {}
 
     # burn-in: run in thin-sized hops with the same compiled runner
     n_burn_hops = n_burn // n_thin
     n_keep = (n_chain - n_burn_hops * n_thin) // n_thin
+    done_hops = done_sweeps // n_thin
     t0 = time.perf_counter()
-    for _ in range(n_burn_hops):
+    for _ in range(max(0, n_burn_hops - done_hops)):
         state, _ = runner(state, key)
-    for k in range(n_keep):
+    for k in range(max(0, done_hops - n_burn_hops), n_keep):
         state, sample = runner(state, key)
         if writer:
             writer.put(sample)
         if keep_in_memory:
             for nm, v in sample.items():
                 draws.setdefault(nm, []).append(np.asarray(v))
+        if checkpoint_every and ckpt_path and (k + 1) % checkpoint_every == 0:
+            if writer:
+                writer.flush()
+            save_checkpoint(ckpt_path, state)
         if progress and (k + 1) % max(1, n_keep // 10) == 0:
             print(f"  kept {k + 1}/{n_keep}")
     jax.block_until_ready(state.ycorr)
     dt = time.perf_counter() - t0
+    ran_sweeps = (n_burn_hops + n_keep) * n_thin - done_sweeps
     if writer:
         writer.close()
     return LMEMResult(
@@ -121,7 +151,7 @@ def run_lmem(
         state=state,
         draws={k: np.stack(v) for k, v in draws.items()},
         out_folder=out_folder,
-        sweeps_per_sec=(n_burn_hops + n_keep) * n_thin / dt if dt > 0 else 0.0,
+        sweeps_per_sec=ran_sweeps / dt if dt > 0 else 0.0,
     )
 
 
