@@ -34,12 +34,13 @@ def main():
 
     n = int(os.environ.get("NG_BENCH_N", 10000))
     p = int(os.environ.get("NG_BENCH_P", 49152))
-    block = int(os.environ.get("NG_BENCH_BLOCK", 512))
+    block = int(os.environ.get("NG_BENCH_BLOCK", 256))
     n_sweeps = int(os.environ.get("NG_BENCH_SWEEPS", 50))
-    # virtual shards: 32 block chains advance per step (the multi-device
-    # schedule run on one chip; fills the VPU sublane dimension). Tuned on
-    # v5e: V=8 -> 71.7, V=16 -> 84.5, V=32 -> 96.3 sweeps/s at 10k x 49k.
-    vshards = int(os.environ.get("NG_BENCH_VSHARDS", 32))
+    # virtual shards: 96 block chains advance per step (the multi-device
+    # schedule run on one chip; fills the VPU sublane dimension and cuts the
+    # per-sweep sequential iteration count to p/V). Tuned on v5e at
+    # 10k x 49k: V=8 -> 71.7, V=32 -> 96.3, V=96/B=256 -> 108.6 sweeps/s.
+    vshards = int(os.environ.get("NG_BENCH_VSHARDS", 96))
 
     # simulate ON DEVICE: the remote-TPU tunnel uploads at only a few MB/s at
     # production sizes, so the int8 genotype matrix (0.5-30 GB) never leaves
