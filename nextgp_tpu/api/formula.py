@@ -124,7 +124,6 @@ def parse_formula(
 
     # pedigree: order phenotypes to pedigree order (prepMatVec.jl:88-99)
     ped: Optional[Pedigree] = None
-    ainv = None
     row_order: Optional[np.ndarray] = None
     if path2ped:
         ped = read_pedigree(path2ped) if isinstance(path2ped, str) else path2ped
@@ -135,7 +134,14 @@ def parse_formula(
         pos = {v: i for i, v in enumerate(ped_ids)}
         row_order = np.argsort([pos[v] for v in ids], kind="stable")
         fr.reorder(row_order)
-        ainv = a_inverse(ped)
+
+    _ainv_cache = []
+
+    def _ainv():
+        # dense A^-1, built lazily: cg-sampled PED terms never need it
+        if not _ainv_cache:
+            _ainv_cache.append(a_inverse(ped))
+        return _ainv_cache[0]
 
     y = np.asarray(fr[lhs], dtype=np.float64)
 
@@ -190,12 +196,33 @@ def parse_formula(
             var = mped.group(1).strip("\"'")
             if ped is None:
                 raise ValueError("PED(...) requires path2ped")
+            prior = priors.get(var, RandomEffect("A", 100.0))
+            if getattr(prior, "sampler", "scan") == "cg":
+                # scalable path: index incidence + sparse A^-1 + Henderson
+                # factor; no dense arrays (engine samples u by perturbed CG)
+                from ..data.pedigree import a_inverse_factor, a_inverse_padded
+
+                iv_idx, iv_val = a_inverse_padded(ped)
+                sire_f, dam_f, dsq = a_inverse_factor(ped)
+                z_idx = ped.index_of([str(v) for v in fr[var]])
+                random.append(
+                    RandomTerm(
+                        var, None, prior=prior,
+                        levels=[str(v) for v in ped.ids],
+                        structure_label="A",
+                        z_idx=z_idx, n_levels=ped.n,
+                        sparse_struct={
+                            "iv_idx": iv_idx, "iv_val": iv_val,
+                            "sire": sire_f, "dam": dam_f, "dinv_sqrt": dsq,
+                        },
+                    )
+                )
+                continue
             levels, z = incidence_matrix(
                 np.asarray([str(v) for v in fr[var]]), np.asarray([str(v) for v in ped.ids])
             )
-            prior = priors.get(var, RandomEffect("A", 100.0))
             random.append(
-                RandomTerm(var, z, prior=prior, ivstr=ainv, levels=levels, structure_label="A")
+                RandomTerm(var, z, prior=prior, ivstr=_ainv(), levels=levels, structure_label="A")
             )
             continue
         mre = re.match(r"\(\s*1\s*\|\s*([\w.]+)\s*\)$", t)
@@ -216,13 +243,13 @@ def parse_formula(
             if prior is not None and isinstance(prior, RandomEffect):
                 s = prior.str_
                 if isinstance(s, str) and s == "A":
-                    if ainv is None:
+                    if ped is None:
                         raise ValueError(f"prior for {var} uses 'A' but no path2ped given")
                     levels, z = incidence_matrix(
                         np.asarray([str(v) for v in fr[var]]),
                         np.asarray([str(v) for v in ped.ids]),
                     )
-                    ivstr, label = ainv, "A"
+                    ivstr, label = _ainv(), "A"
                 elif not isinstance(s, str) and np.ndim(s) == 2:
                     ivstr, label = np.linalg.inv(np.asarray(s, dtype=np.float64)), "user"
             random.append(

@@ -122,12 +122,17 @@ class RandomEffect:
           a user covariance matrix, or for the residual a weight vector D.
     v: prior variance (scalar, or nT x nT matrix for correlated groups).
     type: vanRaden method when str_ == "G" (1 or 2).
+    sampler: "scan" = the reference's per-level sequential Gibbs
+             (functions.jl:57-72); "cg" = exact joint MvNormal draw by
+             perturbed conjugate gradient — sparse, scan-free, for large
+             level counts (TPU-native extension; "I"/"A" structures only).
     """
 
     str_: Any
     v: Union[float, ArrayLike]
     type: int = 1
     name: str = "Random"
+    sampler: str = "scan"
 
 
 # Julia-flavoured alias: NextGP exports this constructor as `Random`

@@ -48,11 +48,17 @@ class RandomTerm:
     """
 
     name: Union[str, Tuple[str, ...]]
-    z: Union[np.ndarray, Tuple[np.ndarray, ...]]
+    z: Union[np.ndarray, Tuple[np.ndarray, ...], None]
     prior: Optional[RandomEffect] = None
     ivstr: Optional[np.ndarray] = None
     levels: Optional[List] = None
     structure_label: str = "I"
+    # scalable (sampler="cg") representation: per-row level index instead of
+    # a dense incidence, and the sparse A^-1 rows + Henderson factor
+    # (data/pedigree.py: a_inverse_padded / a_inverse_factor)
+    z_idx: Optional[np.ndarray] = None  # (n,) int, -1 = no effect
+    n_levels: Optional[int] = None
+    sparse_struct: Optional[dict] = None  # iv_idx, iv_val, sire, dam, dinv_sqrt
 
     @property
     def correlated(self) -> bool:
@@ -97,6 +103,10 @@ class ModelSpec:
             if t.matrix().shape[0] != n:
                 raise ValueError(f"fixed term {t.name}: {t.matrix().shape[0]} rows != {n}")
         for t in self.random:
+            if t.z is None:
+                if t.z_idx is None or len(np.asarray(t.z_idx)) != n:
+                    raise ValueError(f"random term {t.name}: needs z or a valid z_idx")
+                continue
             zs = t.z if isinstance(t.z, tuple) else (t.z,)
             for z in zs:
                 if np.asarray(z).shape[0] != n:

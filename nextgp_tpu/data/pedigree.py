@@ -232,6 +232,49 @@ def a_inverse_coo(ped: Pedigree):
     return uniq // n, uniq % n, vals
 
 
+def a_inverse_padded(ped: Pedigree):
+    """A-inverse as fixed-width padded rows for device matvecs:
+    (idx (q, K) int32, val (q, K) f64) with zero-padding (idx 0, val 0).
+    A^-1 v == sum_k val[:, k] * v[idx[:, k]]. K is the max row support
+    (parents, offspring, co-parents; typically << q)."""
+    ri, ci, v = a_inverse_coo(ped)
+    q = ped.n
+    order = np.argsort(ri, kind="stable")
+    ri, ci, v = ri[order], ci[order], v[order]
+    counts = np.bincount(ri, minlength=q)
+    K = int(counts.max()) if len(counts) else 1
+    idx = np.zeros((q, K), np.int32)
+    val = np.zeros((q, K), np.float64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for i in range(q):
+        s, e = starts[i], starts[i + 1]
+        idx[i, : e - s] = ci[s:e]
+        val[i, : e - s] = v[s:e]
+    return idx, val
+
+
+def a_inverse_factor(ped: Pedigree):
+    """The Henderson factorization A^-1 = (I - P)' D^-1 (I - P), where
+    (P u)_i = (u_sire + u_dam) / 2 and D is the Mendelian-sampling variance
+    diag. Returns (sire, dam, dinv_sqrt) so a draw s ~ N(0, A^-1) is
+    s = (I - P)' (dinv_sqrt * xi), xi ~ N(0, I) — no Cholesky needed."""
+    n = ped.n
+    f = ped.inbreeding
+    d = np.empty(n)
+    for i in range(n):
+        si, di = ped.sire[i], ped.dam[i]
+        fs = f[si] if si >= 0 else 0.0
+        fd = f[di] if di >= 0 else 0.0
+        ns = 1 if si >= 0 else 0
+        nd = 1 if di >= 0 else 0
+        d[i] = 1.0 - 0.25 * ns * (1.0 + fs) - 0.25 * nd * (1.0 + fd)
+    return (
+        ped.sire.astype(np.int32),
+        ped.dam.astype(np.int32),
+        1.0 / np.sqrt(d),
+    )
+
+
 def make_a(sire, dam) -> np.ndarray:
     """Dense tabular numerator relationship matrix from 0-coded sire/dam
     vectors (makeA, misc.jl:73-90; individuals assumed ordered, 1-based

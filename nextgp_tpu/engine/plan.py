@@ -63,6 +63,9 @@ class RandomPlan:
     df: float
     correlated: bool
     n_t: int
+    sampler: str = "scan"  # "scan" (reference per-level Gibbs) | "cg"
+    cg_tol: float = 1e-8
+    cg_iters: int = 1000
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,8 +191,56 @@ def _df_for(v):
     return 3.0 + (v.shape[0] if v.ndim == 2 else 1.0)
 
 
+def _build_random_sparse(term: RandomTerm, prior, dtype):
+    """Scalable random effect (prior.sampler == 'cg'): index incidence +
+    padded-sparse inverse structure + Henderson factor. No dense (n, q) or
+    (q, q) arrays — sampled by the perturbed-CG joint draw."""
+    from .state import SparseRandomState
+
+    if term.z_idx is not None:
+        z_idx = np.asarray(term.z_idx, np.int64)
+        q = int(term.n_levels if term.n_levels is not None else z_idx.max() + 1)
+    else:  # derive the level index from a one-hot incidence
+        z = np.asarray(term.z, np.float64)
+        q = z.shape[1]
+        hot = z != 0.0
+        if not (hot.sum(axis=1) <= 1).all() or not ((z == 0) | (z == 1)).all():
+            raise ValueError(
+                f"random term {term.name}: sampler='cg' needs a 0/1 incidence "
+                "(at most one level per row) or an explicit z_idx"
+            )
+        z_idx = np.where(hot.any(axis=1), hot.argmax(axis=1), -1)
+
+    ss = term.sparse_struct
+    if ss is None:  # identity structure
+        ss = {
+            "iv_idx": np.arange(q, dtype=np.int32)[:, None],
+            "iv_val": np.ones((q, 1)),
+            "sire": np.full(q, -1, np.int32),
+            "dam": np.full(q, -1, np.int32),
+            "dinv_sqrt": np.ones(q),
+        }
+    df = _df_for(prior.v)
+    st = SparseRandomState(
+        z_idx=jnp.asarray(z_idx, jnp.int32),
+        iv_idx=jnp.asarray(ss["iv_idx"], jnp.int32),
+        iv_val=jnp.asarray(ss["iv_val"], dtype),
+        fac_sire=jnp.asarray(ss["sire"], jnp.int32),
+        fac_dam=jnp.asarray(ss["dam"], jnp.int32),
+        fac_dsqrt=jnp.asarray(ss["dinv_sqrt"], dtype),
+        u=jnp.zeros((q,), dtype),
+        var_u=jnp.asarray(float(prior.v), dtype),
+        scale=jnp.asarray(_scale_for(prior.v, df), dtype),
+    )
+    return st, RandomPlan(term.name, q, float(df), False, 1, sampler="cg")
+
+
 def _build_random(term: RandomTerm, d_inv, dtype):
     prior = term.prior or P.RandomEffect("I", 100.0)
+    if getattr(prior, "sampler", "scan") == "cg":
+        if term.correlated:
+            raise ValueError("sampler='cg' is not available for correlated groups")
+        return _build_random_sparse(term, prior, dtype)
     v = prior.v
     if term.correlated:
         zs = tuple(np.asarray(z, dtype=np.float64) for z in term.z)

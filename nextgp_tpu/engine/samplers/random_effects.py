@@ -42,6 +42,70 @@ def sample_random_uni(key, rs, ycorr, var_e, df):
     return u, var_u, ycorr
 
 
+def sample_random_cg(key, rs, ycorr, var_e, df, plan, d_inv=None):
+    """Exact joint MvNormal draw of u | rest by perturbed conjugate gradient
+    (matrix-free; TPU-native replacement of the per-level scan for large q).
+
+    With C = Z'D^-1 Z / ve + K / vu (K = inverse structure), the draw
+        u = C^-1 [ Z'D^-1 (ycorr + e1) / ve + s ],
+        e1 ~ N(0, ve D),  s ~ N(0, K / vu)
+    has exactly the conditional distribution N(C^-1 Z'D^-1 ycorr / ve, C^-1)
+    the reference's scan targets one coordinate at a time. s uses the
+    Henderson factorization K = (I-P)' D_f^-1 (I-P) (data/pedigree.py:
+    a_inverse_factor), so no Cholesky of K is ever formed.
+    """
+    from ...ops.cg import cg_solve
+
+    q = rs.u.shape[0]
+    n = ycorr.shape[0]
+    dtype = ycorr.dtype
+    k1, k2, kv = jax.random.split(key, 3)
+    idx = jnp.where(rs.z_idx >= 0, rs.z_idx, q)
+
+    def Zt(vec_n):  # Z' v via segment sum
+        return jax.ops.segment_sum(vec_n, idx, num_segments=q + 1)[:q]
+
+    def Z(vec_q):  # Z v via gather (padded slot q -> 0)
+        return jnp.concatenate([vec_q, jnp.zeros((1,), dtype)])[idx]
+
+    def ivmul(v):  # K v from padded sparse rows
+        return jnp.sum(rs.iv_val * v[rs.iv_idx], axis=1)
+
+    def factor_t(x):  # (I - P)' x
+        si = jnp.where(rs.fac_sire >= 0, rs.fac_sire, q)
+        di = jnp.where(rs.fac_dam >= 0, rs.fac_dam, q)
+        half = 0.5 * x
+        return (
+            x
+            - jax.ops.segment_sum(half, si, num_segments=q + 1)[:q]
+            - jax.ops.segment_sum(half, di, num_segments=q + 1)[:q]
+        )
+
+    ive = 1.0 / var_e
+    ivu = 1.0 / rs.var_u
+    ycorr = ycorr + Z(rs.u)
+
+    w = (1.0 / d_inv) if d_inv is not None else 1.0
+    e1 = jax.random.normal(k1, (n,), dtype) * jnp.sqrt(var_e * w)
+    xi = jax.random.normal(k2, (q,), dtype)
+    s = factor_t(rs.fac_dsqrt * xi) * jnp.sqrt(ivu)
+    yp = ycorr + e1
+    rhs = Zt(d_inv * yp if d_inv is not None else yp) * ive + s
+
+    def matvec(v):
+        zv = Z(v)
+        if d_inv is not None:
+            zv = d_inv * zv
+        return Zt(zv) * ive + ivmul(v) * ivu
+
+    u, _, _ = cg_solve(matvec, rhs, x0=rs.u, tol=plan.cg_tol, max_iter=plan.cg_iters)
+    ycorr = ycorr - Z(u)
+
+    ss = u @ ivmul(u)
+    var_u = sample_scaled_inv_chi2(kv, df, rs.scale, ss, float(q))
+    return u, var_u, ycorr
+
+
 def sample_random_corr(key, rs, ycorr, var_e, df):
     """Correlated group (tuple key): per-level MvNormal with Kronecker
     structure (functions.jl:75-110). Returns (u, var_u, ycorr)."""

@@ -48,6 +48,26 @@ class RandomState:
 
 
 @pytree_dataclass
+class SparseRandomState:
+    """Scalable random effect for large level counts (production pedigrees):
+    one-hot incidence held as a per-row level index, A^-1 as fixed-width
+    padded sparse rows, and the Henderson factor (I-P)' D^-1/2 for exact
+    N(0, A^-1) draws. Sampled by the perturbed-CG joint draw
+    (engine/samplers/random_effects.py:sample_random_cg) instead of the
+    per-level scan — no dense (n, q) or (q, q) arrays anywhere."""
+
+    z_idx: Array  # (n,) int32 level per data row; -1 = no effect
+    iv_idx: Array  # (q, K) int32 padded inverse-structure rows
+    iv_val: Array  # (q, K)
+    fac_sire: Array  # (q,) int32, -1 = unknown
+    fac_dam: Array  # (q,) int32
+    fac_dsqrt: Array  # (q,) D^-1/2 of the Henderson factorization
+    u: Array  # (q,)
+    var_u: Array  # ()
+    scale: Array  # ()
+
+
+@pytree_dataclass
 class CorrRandomState:
     """Correlated random-effect group, tuple key in the reference
     (mme.jl:207-239; samplers functions.jl:75-110)."""

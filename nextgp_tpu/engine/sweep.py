@@ -21,7 +21,11 @@ from . import rng
 from .plan import SweepPlan
 from .samplers.fixed import sample_fixed_block
 from .samplers.markers import sample_corr_marker_set, sample_marker_set
-from .samplers.random_effects import sample_random_corr, sample_random_uni
+from .samplers.random_effects import (
+    sample_random_cg,
+    sample_random_corr,
+    sample_random_uni,
+)
 from .samplers.residual import sample_var_e
 from .state import ModelState
 
@@ -52,6 +56,10 @@ def make_sweep(plan: SweepPlan):
             with jax.named_scope(f"gibbs.random.{i}"):
                 if rp.correlated:
                     u, var_u, ycorr = sample_random_corr(k, rs, ycorr, var_e, rp.df)
+                elif rp.sampler == "cg":
+                    u, var_u, ycorr = sample_random_cg(
+                        k, rs, ycorr, var_e, rp.df, rp, d_inv=state.e.d_inv
+                    )
                 else:
                     u, var_u, ycorr = sample_random_uni(k, rs, ycorr, var_e, rp.df)
             random.append(replace(rs, u=u, var_u=var_u))

@@ -36,6 +36,7 @@ from ..engine.state import (
     ModelState,
     RandomState,
     ResidualState,
+    SparseRandomState,
 )
 from ..engine.samplers.fixed import sample_fixed_block
 from ..engine.samplers.markers import sample_marker_set
@@ -51,6 +52,7 @@ _CHAIN_FIELDS = {
     ResidualState: ("var_e",),
     FixedState: ("b",),
     RandomState: ("u", "var_u"),
+    SparseRandomState: ("u", "var_u"),
     CorrRandomState: ("u", "var_u"),
     MarkerState: ("beta", "delta", "var_beta", "log_pi", "pi_hat", "annot_prob",
                   "annot_cat", "log_var", "lv_c", "lv_resid", "var_zeta"),
@@ -115,7 +117,7 @@ def state_specs(plan: SweepPlan, batched: ModelState) -> ModelState:
         e=_simple_specs(batched.e, ResidualState),
         fixed=tuple(_simple_specs(fs, FixedState) for fs in batched.fixed),
         random=tuple(
-            _simple_specs(rs, CorrRandomState if rp.correlated else RandomState)
+            _simple_specs(rs, type(rs))
             for rs, rp in zip(batched.random, plan.random)
         ),
         markers=tuple(_marker_specs(ms, mp) for ms, mp in zip(batched.markers, plan.markers)),
@@ -146,7 +148,7 @@ def batch_state(plan: SweepPlan, state: ModelState, n_chains: int) -> ModelState
         e=go(state.e, ResidualState),
         fixed=tuple(go(fs, FixedState) for fs in state.fixed),
         random=tuple(
-            go(rs, CorrRandomState if rp.correlated else RandomState)
+            go(rs, type(rs))
             for rs, rp in zip(state.random, plan.random)
         ),
         markers=tuple(go(ms, MarkerState) for ms in state.markers),
@@ -170,7 +172,7 @@ def _squeeze_chain(batched: ModelState, plan) -> ModelState:
         e=go(batched.e, ResidualState),
         fixed=tuple(go(fs, FixedState) for fs in batched.fixed),
         random=tuple(
-            go(rs, CorrRandomState if rp.correlated else RandomState)
+            go(rs, type(rs))
             for rs, rp in zip(batched.random, plan.random)
         ),
         markers=tuple(go(ms, MarkerState) for ms in batched.markers),
@@ -194,7 +196,7 @@ def _unsqueeze_chain(state: ModelState, plan) -> ModelState:
         e=go(state.e, ResidualState),
         fixed=tuple(go(fs, FixedState) for fs in state.fixed),
         random=tuple(
-            go(rs, CorrRandomState if rp.correlated else RandomState)
+            go(rs, type(rs))
             for rs, rp in zip(state.random, plan.random)
         ),
         markers=tuple(go(ms, MarkerState) for ms in state.markers),
