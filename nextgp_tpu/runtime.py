@@ -159,3 +159,90 @@ def prep(spec: ModelSpec, dtype=None):
     """Standalone model inspection, mirroring exported `prep`
     (prepMatVec.jl:39-176): returns (plan, state) without sampling."""
     return assemble(spec, dtype=dtype)
+
+
+def run_chains(
+    spec: ModelSpec,
+    n_chains: int,
+    n_chain: int,
+    n_burn: int,
+    n_thin: int,
+    seed: int = 0,
+    dtype=None,
+    n_shards: Optional[int] = None,
+    mesh=None,
+    track=("varE",),
+) -> Dict[str, Any]:
+    """Multi-chain MCMC over the device mesh (chains data-parallel, marker
+    blocks sharded) with built-in cross-chain convergence diagnostics —
+    the reference runs one chain and defers diagnostics to user-side
+    MCMCChains scripts (docs/src/index.md:62-88).
+
+    Returns {"draws": {name: (n_chains, n_keep, ...)}, "rhat": {...},
+    "ess": {...}, "state": batched ModelState}.
+    """
+    import jax.numpy as jnp
+
+    from .engine.sweep import collect_sample
+    from .io.summary import ess_bulk, split_rhat
+    from .parallel import sharded
+
+    plan, state = assemble(spec, dtype=dtype)
+    if mesh is None:
+        n_dev = len(jax.devices())
+        if n_shards is None:
+            n_shards = max(1, n_dev // n_chains) if n_chains <= n_dev else 1
+        mesh = sharded.make_mesh(n_chains, n_shards,
+                                 devices=jax.devices()[: n_chains * n_shards])
+    batched = sharded.distribute(plan, state, mesh, n_chains)
+    step = sharded.make_sharded_sweep(plan, mesh, n_sweeps=n_thin)(batched)
+    keys = jax.random.split(jax.random.key(seed), n_chains)
+
+    n_burn_hops = n_burn // n_thin
+    n_keep = (n_chain - n_burn_hops * n_thin) // n_thin
+    draws: Dict[str, list] = {}
+    for _ in range(n_burn_hops):
+        batched = step(batched, keys)
+    for _ in range(n_keep):
+        batched = step(batched, keys)
+        sample = _collect_batched(batched, plan)
+        for nm in track:
+            if nm in sample:
+                draws.setdefault(nm, []).append(np.asarray(sample[nm]))
+    out_draws = {k: np.stack(v, axis=1) for k, v in draws.items()}  # (C, keep, ...)
+    rhat = {k: split_rhat(v if v.ndim > 2 else v[..., None]) for k, v in out_draws.items()}
+    ess = {k: ess_bulk(v if v.ndim > 2 else v[..., None]) for k, v in out_draws.items()}
+    return {"draws": out_draws, "rhat": rhat, "ess": ess, "state": batched}
+
+
+def _collect_batched(batched, plan) -> Dict[str, Any]:
+    """collect_sample over a chains-batched state: index chain c out of every
+    chain-batched leaf (parallel.sharded._CHAIN_FIELDS), then collect."""
+    import dataclasses as _dc
+
+    from .parallel.sharded import _CHAIN_FIELDS
+
+    def pick(obj, c):
+        cls = type(obj)
+        if _dc.is_dataclass(obj) and not isinstance(obj, type):
+            kw = {}
+            for f in _dc.fields(cls):
+                v = getattr(obj, f.name)
+                if cls in _CHAIN_FIELDS and f.name in _CHAIN_FIELDS[cls] and v is not None:
+                    kw[f.name] = v[c]
+                elif _dc.is_dataclass(v) and not isinstance(v, type):
+                    kw[f.name] = pick(v, c)
+                elif isinstance(v, tuple) and v and _dc.is_dataclass(v[0]):
+                    kw[f.name] = tuple(pick(x, c) for x in v)
+                else:
+                    kw[f.name] = v
+            return cls(**kw)
+        return obj
+
+    n_chains = batched.ycorr.shape[0]
+    out: Dict[str, Any] = {}
+    for c in range(n_chains):
+        sample = collect_sample(pick(batched, c), plan)
+        for k, v in sample.items():
+            out.setdefault(k, []).append(np.asarray(v))
+    return {k: np.stack(v) for k, v in out.items()}
