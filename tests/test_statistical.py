@@ -135,3 +135,42 @@ def test_pblup_posterior_mean_matches_mme(rng):
     post = tot / cnt
     np.testing.assert_allclose(post, direct, atol=0.15)
     assert np.corrcoef(post[1:], direct[1:])[0, 1] > 0.95
+
+
+def test_fixed_effects_match_ols(rng):
+    """The reference's Example.md cross-check (docs/src/Example/Example.md:
+    135-163): with flat-prior fixed effects only, posterior means of b match
+    the lm()/OLS estimates."""
+    import jax
+
+    import nextgp_tpu as ng
+
+    n = 120
+    x1 = rng.normal(0, 1, n)
+    f = rng.integers(0, 3, n)
+    X = np.column_stack([np.ones(n), x1, (f == 1).astype(float), (f == 2).astype(float)])
+    b_true = np.array([2.0, 0.7, -1.0, 0.5])
+    y = X @ b_true + rng.normal(0, 1, n)
+    ols = np.linalg.lstsq(X, y, rcond=None)[0]
+
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[
+            ng.FixedTerm("int", np.ones(n)),
+            ng.FixedTerm("x1", x1),
+            ng.FixedTerm("f", X[:, 2:4]),
+        ],
+        blocks=[("int", "x1", "f")],
+    )
+    plan, state = ng.assemble(spec)
+    sweep = jax.jit(ng.make_sweep(plan))
+    key = jax.random.key(2)
+    bsum = np.zeros(4)
+    cnt = 0
+    for i in range(800):
+        state = sweep(state, key)
+        if i >= 200:
+            bsum += np.asarray(state.fixed[0].b)
+            cnt += 1
+    bhat = bsum / cnt
+    np.testing.assert_allclose(bhat, ols, atol=0.12)
