@@ -244,6 +244,15 @@ def _sweep_local(plan: SweepPlan, state: ModelState, chain_key, ctx: ShardCtx) -
 def make_sharded_sweep(plan: SweepPlan, mesh: Mesh, n_sweeps: int = 1):
     if plan.corr_markers:
         raise NotImplementedError("correlated marker sets are single-device for now")
+    if any(mp.vshards > 1 for mp in plan.markers):
+        # the vshard storage relayout (engine/plan.py) interleaves blocks
+        # across the whole set, which is incompatible with the contiguous
+        # per-shard stream slicing of ShardCtx.slice_p — assemble with
+        # vshards=1 when distributing over real devices
+        raise NotImplementedError(
+            "vshards > 1 cannot be combined with device sharding yet; "
+            "assemble(vshards=1) for multi-device runs"
+        )
     """Build jitted f(batched_state, chain_keys) -> batched_state running
     `n_sweeps` sweeps on the mesh. chain_keys: (n_chains,) typed keys.
 
@@ -280,6 +289,11 @@ def distribute(plan: SweepPlan, state: ModelState, mesh: Mesh, n_chains: int):
     """Batch the state over chains and lay it out on the mesh."""
     if state.corr_markers:
         raise NotImplementedError("correlated marker sets are single-device for now")
+    if any(mp.vshards > 1 for mp in plan.markers):
+        raise NotImplementedError(
+            "vshards > 1 cannot be combined with device sharding yet; "
+            "assemble(vshards=1) for multi-device runs"
+        )
     batched = batch_state(plan, state, n_chains)
     specs = state_specs(plan, batched)
     out = jax.tree.map(
