@@ -35,6 +35,7 @@ from .data.pedigree import build_pedigree, make_a, read_pedigree  # noqa: F401
 from .engine.plan import assemble  # noqa: F401
 from .engine.sweep import make_sweep  # noqa: F401
 from .io.summary import ess_bulk, posterior_stats, split_rhat, summary_mcmc  # noqa: F401
-from .runtime import LMEMResult, prep, run_lmem  # noqa: F401
+from .grn.sampler import est_grn  # noqa: F401
+from .runtime import LMEMResult, prep, run_chains, run_lmem  # noqa: F401
 
 __version__ = "0.1.0"
