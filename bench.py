@@ -111,6 +111,27 @@ def main():
     dt = time.perf_counter() - t0
     sweeps_per_sec = n_sweeps / dt
 
+    # chain-quality sanity: the current draw's genetic values should already
+    # track the simulated signal after 2*n_sweeps sweeps (guards against a
+    # fast-but-broken schedule). Row-subsampled to keep it cheap.
+    @jax.jit
+    def ebv_corr(beta_draw, key):
+        ns = min(n, 2048)
+        kg, kb, ke = jax.random.split(key, 3)
+        bt = jnp.where(
+            jax.random.uniform(kb, (p,)) < 500.0 / p,
+            jax.random.normal(kb, (p,)) * 0.1,
+            0.0,
+        )
+        gs = g_dev[:ns].astype(jnp.float32)
+        ghat = gs @ beta_draw.astype(jnp.float32)
+        gtrue = gs @ bt
+        ghat = ghat - jnp.mean(ghat)
+        gtrue = gtrue - jnp.mean(gtrue)
+        return jnp.vdot(ghat, gtrue) / jnp.sqrt(jnp.vdot(ghat, ghat) * jnp.vdot(gtrue, gtrue))
+
+    corr = float(np.asarray(ebv_corr(state.markers[0].beta[:p], jax.random.key(0))))
+
     print(
         json.dumps(
             {
@@ -123,7 +144,8 @@ def main():
     )
     print(
         f"# assemble {t_assemble:.1f}s, compile {t_compile:.1f}s, "
-        f"{dt / n_sweeps * 1e3:.1f} ms/sweep, backend={jax.default_backend()}",
+        f"{dt / n_sweeps * 1e3:.1f} ms/sweep, EBV corr {corr:.3f} "
+        f"after {2 * n_sweeps} sweeps, backend={jax.default_backend()}",
         file=sys.stderr,
     )
 
