@@ -111,27 +111,10 @@ def main():
     dt = time.perf_counter() - t0
     sweeps_per_sec = n_sweeps / dt
 
-    # chain-quality sanity: the current draw's genetic values should already
-    # track the simulated signal after 2*n_sweeps sweeps (guards against a
-    # fast-but-broken schedule). Row-subsampled to keep it cheap.
-    @jax.jit
-    def ebv_corr(beta_draw, key):
-        ns = min(n, 2048)
-        kg, kb, ke = jax.random.split(key, 3)
-        bt = jnp.where(
-            jax.random.uniform(kb, (p,)) < 500.0 / p,
-            jax.random.normal(kb, (p,)) * 0.1,
-            0.0,
-        )
-        gs = g_dev[:ns].astype(jnp.float32)
-        ghat = gs @ beta_draw.astype(jnp.float32)
-        gtrue = gs @ bt
-        ghat = ghat - jnp.mean(ghat)
-        gtrue = gtrue - jnp.mean(gtrue)
-        return jnp.vdot(ghat, gtrue) / jnp.sqrt(jnp.vdot(ghat, ghat) * jnp.vdot(gtrue, gtrue))
-
-    corr = float(np.asarray(ebv_corr(state.markers[0].beta[:p], jax.random.key(0))))
-
+    # Emit the driver-facing JSON line FIRST: the sanity checks below are
+    # best-effort and must never prevent the measurement from being recorded
+    # (round-1 failure mode: a post-measurement jit blew the remote-compile
+    # request limit and the JSON line never printed).
     print(
         json.dumps(
             {
@@ -142,12 +125,95 @@ def main():
             }
         )
     )
+    sys.stdout.flush()
+
+    # chain-quality sanity: the current draw's genetic values should already
+    # track the simulated signal after 2*n_sweeps sweeps (guards against a
+    # fast-but-broken schedule). Row-subsampled to keep it cheap. The genotype
+    # slice is PASSED AS AN ARGUMENT — closing over g_dev embeds a
+    # multi-hundred-MB constant in the HLO and overflows the remote-compile
+    # tunnel's request limit.
+    @jax.jit
+    def ebv_corr(gs_i8, beta_draw, key):
+        kg, kb, ke = jax.random.split(key, 3)
+        bt = jnp.where(
+            jax.random.uniform(kb, (p,)) < 500.0 / p,
+            jax.random.normal(kb, (p,)) * 0.1,
+            0.0,
+        )
+        gs = gs_i8.astype(jnp.float32)
+        ghat = gs @ beta_draw.astype(jnp.float32)
+        gtrue = gs @ bt
+        ghat = ghat - jnp.mean(ghat)
+        gtrue = gtrue - jnp.mean(gtrue)
+        return jnp.vdot(ghat, gtrue) / jnp.sqrt(jnp.vdot(ghat, ghat) * jnp.vdot(gtrue, gtrue))
+
+    corr = float("nan")
+    try:
+        gs_i8 = jax.lax.slice_in_dim(g_dev, 0, min(n, 2048), axis=0)
+        corr = float(np.asarray(ebv_corr(gs_i8, state.markers[0].beta[:p], jax.random.key(0))))
+    except Exception as exc:  # sanity check must not kill the bench record
+        print(f"# ebv_corr sanity check failed: {exc}", file=sys.stderr)
+
+    # on-device Pallas-vs-XLA correctness smoke (VERDICT r1 item 6): a tiny
+    # BayesR model swept with and without the Pallas kernels must agree.
+    pallas_ok = None
+    try:
+        pallas_ok = _pallas_smoke(jax)
+    except Exception as exc:
+        print(f"# pallas smoke failed: {exc}", file=sys.stderr)
+        pallas_ok = False
+
     print(
         f"# assemble {t_assemble:.1f}s, compile {t_compile:.1f}s, "
         f"{dt / n_sweeps * 1e3:.1f} ms/sweep, EBV corr {corr:.3f} "
-        f"after {2 * n_sweeps} sweeps, backend={jax.default_backend()}",
+        f"after {2 * n_sweeps} sweeps, pallas_smoke={'ok' if pallas_ok else 'FAIL'}, "
+        f"backend={jax.default_backend()}",
         file=sys.stderr,
     )
+
+
+def _pallas_smoke(jax, n=512, p=768, block=128, n_sweeps=3):
+    """Run a few sweeps of PR/BC/R with use_pallas True vs False on the
+    current backend and assert beta/ycorr agreement to f32 tolerance."""
+    import jax.numpy as jnp
+
+    import nextgp_tpu as ng
+    from nextgp_tpu.engine.sweep import make_sweep
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = (g - g.mean(0)) @ rng.normal(0, 0.1, p) + rng.normal(0, 1, n)
+    priors = {
+        "PR": ng.BayesPR(9999, 0.05),
+        "C": ng.BayesC(0.95, 0.05, estimatePi=True),
+        "R": ng.BayesR([0.9, 0.05, 0.03, 0.02], [0.0, 1e-4, 1e-3, 1e-2], 1.0),
+    }
+    ok = True
+    for name, prior in priors.items():
+        spec = ng.ModelSpec(
+            y=y,
+            fixed=[ng.FixedTerm("int", np.ones(n))],
+            markers=[ng.MarkerTerm("M1", ng.from_array(g), prior)],
+            block_size=block,
+        )
+        outs = []
+        for use_pallas in (True, False):
+            plan, state = ng.assemble(spec, use_pallas=use_pallas)
+            sweep = jax.jit(make_sweep(plan))
+            key = jax.random.key(11)
+            for s in range(n_sweeps):
+                state = sweep(state, jax.random.fold_in(key, s))
+            outs.append(
+                (np.asarray(state.markers[0].beta), np.asarray(state.ycorr))
+            )
+        db = float(np.max(np.abs(outs[0][0] - outs[1][0])))
+        dy = float(np.max(np.abs(outs[0][1] - outs[1][1])))
+        sc = float(np.max(np.abs(outs[1][1]))) + 1e-30
+        if not (db < 5e-4 and dy / sc < 5e-4):
+            print(f"# pallas smoke {name}: max|dbeta|={db:.2e} max|dycorr|/scale={dy / sc:.2e}")
+            ok = False
+    return ok
 
 
 if __name__ == "__main__":
