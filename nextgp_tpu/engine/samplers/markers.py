@@ -139,9 +139,14 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
 
     graw = ms.gram_raw if ms.gram_raw is not None else ms.gram
     nb = ms.mpm.shape[0]
-    V = vshards if vshards and vshards > 1 and nb % max(vshards, 1) == 0 else 1
+    # V is derived from the STORAGE layout, not the plan: mt is (nb, B, n)
+    # in plain layout and (T, V, B, n) in vshard layout. Under shard_map the
+    # vshard axis is split across devices, so the local V here is the
+    # per-device share V_total / n_shards (possibly 1) while mp.vshards
+    # stays global — the storage shape is the single source of truth.
+    V = ms.mt.shape[1] if ms.mt.ndim == 4 else 1
 
-    if V == 1:
+    if ms.mt.ndim == 3:
         leaves = (ms.mt, ms.center, ms.gram, graw,
                   ms.beta.reshape(ms.mpm.shape), locus_xs)
 

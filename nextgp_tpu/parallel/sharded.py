@@ -40,7 +40,11 @@ from ..engine.state import (
 )
 from ..engine.samplers.fixed import sample_fixed_block
 from ..engine.samplers.markers import sample_marker_set
-from ..engine.samplers.random_effects import sample_random_corr, sample_random_uni
+from ..engine.samplers.random_effects import (
+    sample_random_cg,
+    sample_random_corr,
+    sample_random_uni,
+)
 from ..engine.samplers.residual import sample_var_e
 from ..utils import replace
 
@@ -78,6 +82,15 @@ def _marker_specs(ms: MarkerState, mp) -> MarkerState:
         if val is None:
             return None
         chain = field in _CHAIN_FIELDS[MarkerState]
+        if mp.vshards > 1 and field in ("mt", "center"):
+            # vshard storage layout (T, V, B[, n]): split the vshard axis.
+            # Device s then owns local chains [s*V/S, (s+1)*V/S) whose global
+            # block assignment equals the single-device V-vshard schedule, so
+            # the sharded chain is the same chain.
+            return P(None, SHARDS, *([None] * (val.ndim - 2)))
+        if mp.vshards > 1 and field in ("gram", "gram_raw"):
+            # locus-major vshard layout (T, B, V, B)
+            return P(None, None, SHARDS, None)
         if field in _SHARD_STATIC:
             return P(SHARDS, *([None] * (val.ndim - 1)))
         if chain and field in _SHARD_CHAIN:
@@ -222,6 +235,12 @@ def _sweep_local(plan: SweepPlan, state: ModelState, chain_key, ctx: ShardCtx) -
         k = rng.stage_key(skey, rng.STAGE_RANDOM, i)
         if rp.correlated:
             u, var_u, ycorr = sample_random_corr(k, rs, ycorr, var_e, rp.df)
+        elif rp.sampler == "cg":
+            # ycorr is replicated across shards, so every shard runs the
+            # identical CG iteration and the joint draw stays consistent
+            u, var_u, ycorr = sample_random_cg(
+                k, rs, ycorr, var_e, rp.df, rp, d_inv=state.e.d_inv
+            )
         else:
             u, var_u, ycorr = sample_random_uni(k, rs, ycorr, var_e, rp.df)
         random.append(replace(rs, u=u, var_u=var_u))
@@ -241,24 +260,36 @@ def _sweep_local(plan: SweepPlan, state: ModelState, chain_key, ctx: ShardCtx) -
     )
 
 
-def make_sharded_sweep(plan: SweepPlan, mesh: Mesh, n_sweeps: int = 1):
+def _check_shardable(plan: SweepPlan, n_shards: int) -> None:
     if plan.corr_markers:
         raise NotImplementedError("correlated marker sets are single-device for now")
-    if any(mp.vshards > 1 for mp in plan.markers):
-        # the vshard storage relayout (engine/plan.py) interleaves blocks
-        # across the whole set, which is incompatible with the contiguous
-        # per-shard stream slicing of ShardCtx.slice_p — assemble with
-        # vshards=1 when distributing over real devices
-        raise NotImplementedError(
-            "vshards > 1 cannot be combined with device sharding yet; "
-            "assemble(vshards=1) for multi-device runs"
-        )
+    for mp in plan.markers:
+        if mp.vshards > 1:
+            if mp.vshards % n_shards:
+                raise ValueError(
+                    f"marker set {mp.name}: vshards={mp.vshards} must be a "
+                    f"multiple of n_shards={n_shards} — assemble with "
+                    f"vshards = k * n_shards"
+                )
+        elif mp.n_blocks % n_shards:
+            raise ValueError(
+                f"marker set {mp.name}: n_blocks={mp.n_blocks} is not "
+                f"divisible by n_shards={n_shards}; pick a block size so "
+                f"blocks split evenly across shards"
+            )
+
+
+def make_sharded_sweep(plan: SweepPlan, mesh: Mesh, n_sweeps: int = 1):
     """Build jitted f(batched_state, chain_keys) -> batched_state running
     `n_sweeps` sweeps on the mesh. chain_keys: (n_chains,) typed keys.
 
     Requires n_chains == mesh chains-axis size (one chain per device row).
+    Marker sets assembled with vshards=V run the V-wide virtual-shard
+    schedule split across the shard axis (V/S local chains per device); the
+    resulting chain is identical to the single-device vshards=V chain.
     """
     n_shards = mesh.shape[SHARDS]
+    _check_shardable(plan, n_shards)
 
     def fn(batched: ModelState, chain_keys):
         local = _squeeze_chain(batched, plan)
@@ -287,13 +318,7 @@ def make_sharded_sweep(plan: SweepPlan, mesh: Mesh, n_sweeps: int = 1):
 
 def distribute(plan: SweepPlan, state: ModelState, mesh: Mesh, n_chains: int):
     """Batch the state over chains and lay it out on the mesh."""
-    if state.corr_markers:
-        raise NotImplementedError("correlated marker sets are single-device for now")
-    if any(mp.vshards > 1 for mp in plan.markers):
-        raise NotImplementedError(
-            "vshards > 1 cannot be combined with device sharding yet; "
-            "assemble(vshards=1) for multi-device runs"
-        )
+    _check_shardable(plan, mesh.shape[SHARDS])
     batched = batch_state(plan, state, n_chains)
     specs = state_specs(plan, batched)
     out = jax.tree.map(
