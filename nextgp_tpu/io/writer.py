@@ -8,6 +8,10 @@ writer thread drains a queue, so device sweeps never block on the
 filesystem. File naming matches the reference: `<quantity>Out` with a
 header row, in a per-run output folder that is wiped on start
 (folderHandler, src/misc.jl:221-232).
+
+Rows buffer per quantity and land as blocks through the native C++ spooler
+(`ng_write_tsv_block`, %.17g — exact float64 round-trip) when the native
+runtime is available, falling back to pure-Python appends otherwise.
 """
 from __future__ import annotations
 
@@ -27,49 +31,121 @@ def folder_handler(out_folder: str):
     os.makedirs(out_folder, exist_ok=True)
 
 
-class MCMCWriter:
-    """Queue-backed writer: `put(sample_dict)` from the chain loop;
-    a daemon thread appends rows. `close()` drains and flushes."""
+def truncate_outputs(out_folder: str, kept_rows: int):
+    """Truncate every `<name>Out` file to header + `kept_rows` data rows.
 
-    def __init__(self, out_folder: str, headers: Optional[Dict[str, List[str]]] = None):
+    Called on checkpoint resume: rows spooled after the last checkpoint
+    survive a crash and would be re-emitted by the resumed loop, duplicating
+    draws; truncating to the checkpointed row count makes resume exact for
+    the output files too.
+    """
+    if not os.path.isdir(out_folder):
+        return
+    for fn in os.listdir(out_folder):
+        if not fn.endswith("Out"):
+            continue
+        path = os.path.join(out_folder, fn)
+        with open(path, "rb+") as fh:
+            off = 0
+            for _ in range(kept_rows + 1):  # +1 for the header row
+                line = fh.readline()
+                if not line:
+                    off = None  # fewer rows than the checkpoint -> keep all
+                    break
+                off = fh.tell()
+            if off is not None:
+                fh.truncate(off)
+
+
+def _native_writer():
+    try:
+        from ..native import api as nat
+
+        nat._l()  # force-load; raises if the native runtime is unavailable
+        return nat.write_tsv_block
+    except Exception:
+        return None
+
+
+class MCMCWriter:
+    """Queue-backed writer: `put(sample_dict)` from the chain loop; a daemon
+    thread buffers rows per quantity and appends them in blocks."""
+
+    def __init__(
+        self,
+        out_folder: str,
+        headers: Optional[Dict[str, List[str]]] = None,
+        block_rows: int = 32,
+    ):
         self.out_folder = out_folder
         os.makedirs(out_folder, exist_ok=True)
-        self._files: Dict[str, object] = {}
+        self._headered: set = set()
         self._headers = headers or {}
+        self._buf: Dict[str, List[np.ndarray]] = {}
+        self._block_rows = block_rows
+        self._native = _native_writer()
         self._q: "queue.Queue" = queue.Queue(maxsize=64)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._err: Optional[BaseException] = None
         self._thread.start()
 
-    def _file(self, name: str, width: int):
-        if name not in self._files:
-            path = os.path.join(self.out_folder, f"{name}Out")
-            fh = open(path, "a", buffering=1 << 20)
-            if os.path.getsize(path) == 0:
+    def _path(self, name: str, width: int) -> str:
+        path = os.path.join(self.out_folder, f"{name}Out")
+        if name not in self._headered:
+            if not os.path.exists(path) or os.path.getsize(path) == 0:
                 hdr = self._headers.get(name) or [f"{name}{i + 1}" for i in range(width)]
-                fh.write("\t".join(str(h) for h in hdr) + "\n")
-            self._files[name] = fh
-        return self._files[name]
+                with open(path, "w") as fh:
+                    fh.write("\t".join(str(h) for h in hdr) + "\n")
+            self._headered.add(name)
+        return path
 
-    def _write_row(self, name: str, row: np.ndarray):
-        row = np.atleast_1d(np.asarray(row)).reshape(-1)
-        fh = self._file(name, row.size)
-        fh.write("\t".join(repr(float(v)) if row.dtype.kind == "f" else str(v) for v in row))
-        fh.write("\n")
+    def _write_block(self, name: str, rows: List[np.ndarray]):
+        block = np.stack([np.atleast_1d(r).reshape(-1) for r in rows])
+        path = self._path(name, block.shape[1])
+        if self._native is not None and block.dtype.kind in "fiu":
+            # %.17g prints integral doubles without a decimal point, so int
+            # quantities (delta, annot) match the pure-Python str() form
+            self._native(path, block.astype(np.float64, copy=False))
+            return
+        with open(path, "a", buffering=1 << 20) as fh:
+            for row in block:
+                fh.write(
+                    "\t".join(
+                        repr(float(v)) if block.dtype.kind == "f" else str(v)
+                        for v in row
+                    )
+                )
+                fh.write("\n")
+
+    def _drain_buffers(self):
+        for name, rows in self._buf.items():
+            if rows:
+                self._write_block(name, rows)
+        self._buf.clear()
 
     def _loop(self):
         while True:
             item = self._q.get()
             if item is None:
+                try:
+                    self._drain_buffers()
+                except BaseException as e:
+                    self._err = e
                 return
             if isinstance(item, threading.Event):  # flush barrier
-                for fh in self._files.values():
-                    fh.flush()
+                try:
+                    self._drain_buffers()
+                except BaseException as e:
+                    self._err = e
                 item.set()
                 continue
             try:
                 for name, val in item.items():
-                    self._write_row(name, np.asarray(val))
+                    buf = self._buf.setdefault(name, [])
+                    buf.append(np.asarray(val))
+                    if len(buf) >= self._block_rows:
+                        self._write_block(name, buf)
+                        self._buf[name] = []
             except BaseException as e:  # surfaced on close()
                 self._err = e
 
@@ -78,7 +154,7 @@ class MCMCWriter:
         self._q.put({k: np.asarray(v) for k, v in sample.items()})
 
     def flush(self):
-        """Drain queued samples and flush files (checkpoint consistency)."""
+        """Drain queued samples and land them on disk (checkpoint consistency)."""
         barrier = threading.Event()
         self._q.put(barrier)
         barrier.wait()
@@ -86,7 +162,5 @@ class MCMCWriter:
     def close(self):
         self._q.put(None)
         self._thread.join()
-        for fh in self._files.values():
-            fh.close()
         if self._err is not None:
             raise self._err

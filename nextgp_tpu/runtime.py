@@ -97,20 +97,32 @@ def run_lmem(
     sweep_index). resume=True restarts from that file if present — output
     files are then appended to, not wiped.
     """
-    from .io.checkpoint import load_checkpoint, save_checkpoint
+    from .io.checkpoint import (
+        load_checkpoint,
+        plan_fingerprint,
+        read_meta,
+        save_checkpoint,
+    )
+    from .io.writer import truncate_outputs
 
     ckpt_path = os.path.join(out_folder, "chain.ckpt") if out_folder else None
     resuming = bool(resume and ckpt_path and os.path.exists(ckpt_path))
     if out_folder and not resuming:
         folder_handler(out_folder)
     plan, state = assemble(spec, dtype=dtype, vshards=vshards)
+    fingerprint = plan_fingerprint(plan)
     runner = make_chain_runner(plan, n_thin)
     key = jax.random.key(seed)
 
     done_sweeps = 0
     if resuming:
-        state = load_checkpoint(ckpt_path, state)
+        state = load_checkpoint(ckpt_path, state, fingerprint=fingerprint)
         done_sweeps = int(np.asarray(state.sweep_index))
+        meta = read_meta(ckpt_path)
+        if out_folder and "kept_rows" in meta:
+            # rows spooled after the checkpoint would be re-emitted below;
+            # cut the files back so resume is exact for outputs too
+            truncate_outputs(out_folder, int(meta["kept_rows"]))
         if progress:
             print(f"  resumed at sweep {done_sweeps}")
 
@@ -138,7 +150,10 @@ def run_lmem(
         if checkpoint_every and ckpt_path and (k + 1) % checkpoint_every == 0:
             if writer:
                 writer.flush()
-            save_checkpoint(ckpt_path, state)
+            save_checkpoint(
+                ckpt_path, state,
+                meta={"fingerprint": fingerprint, "kept_rows": k + 1},
+            )
         if progress and (k + 1) % max(1, n_keep // 10) == 0:
             print(f"  kept {k + 1}/{n_keep}")
     jax.block_until_ready(state.ycorr)
@@ -172,22 +187,44 @@ def run_chains(
     n_shards: Optional[int] = None,
     mesh=None,
     track=("varE",),
+    out_folder: Optional[str] = None,
+    vshards: int = 1,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    progress: bool = False,
 ) -> Dict[str, Any]:
     """Multi-chain MCMC over the device mesh (chains data-parallel, marker
     blocks sharded) with built-in cross-chain convergence diagnostics —
     the reference runs one chain and defers diagnostics to user-side
     MCMCChains scripts (docs/src/index.md:62-88).
 
+    track: quantity names to keep in memory for R̂/ESS, or "all".
+    out_folder: when set, every tracked quantity streams to
+    `<out_folder>/chain<i>/<q>Out` TSVs in the reference layout, and
+    `checkpoint_every`/`resume` give the batched multi-chain run the same
+    exact-resume semantics as `run_lmem` (fingerprinted checkpoint +
+    output-row truncation).
+
     Returns {"draws": {name: (n_chains, n_keep, ...)}, "rhat": {...},
     "ess": {...}, "state": batched ModelState}.
     """
-    import jax.numpy as jnp
-
-    from .engine.sweep import collect_sample
+    from .io.checkpoint import (
+        load_checkpoint,
+        plan_fingerprint,
+        read_meta,
+        save_checkpoint,
+    )
     from .io.summary import ess_bulk, split_rhat
+    from .io.writer import MCMCWriter, truncate_outputs
     from .parallel import sharded
 
-    plan, state = assemble(spec, dtype=dtype)
+    ckpt_path = os.path.join(out_folder, "chains.ckpt") if out_folder else None
+    resuming = bool(resume and ckpt_path and os.path.exists(ckpt_path))
+    if out_folder and not resuming:
+        folder_handler(out_folder)
+
+    plan, state = assemble(spec, dtype=dtype, vshards=vshards)
+    fingerprint = plan_fingerprint(plan)
     if mesh is None:
         n_dev = len(jax.devices())
         if n_shards is None:
@@ -198,17 +235,55 @@ def run_chains(
     step = sharded.make_sharded_sweep(plan, mesh, n_sweeps=n_thin)(batched)
     keys = jax.random.split(jax.random.key(seed), n_chains)
 
+    done_sweeps = 0
+    if resuming:
+        batched = load_checkpoint(ckpt_path, batched, fingerprint=fingerprint)
+        done_sweeps = int(np.asarray(batched.sweep_index[0]))
+        meta = read_meta(ckpt_path)
+        if "kept_rows" in meta:
+            for c in range(n_chains):
+                truncate_outputs(
+                    os.path.join(out_folder, f"chain{c + 1}"), int(meta["kept_rows"])
+                )
+        if progress:
+            print(f"  resumed at sweep {done_sweeps}")
+
+    writers = []
+    if out_folder:
+        headers = _headers(spec, plan)
+        writers = [
+            MCMCWriter(os.path.join(out_folder, f"chain{c + 1}"),
+                       None if resuming else headers)
+            for c in range(n_chains)
+        ]
+
     n_burn_hops = n_burn // n_thin
     n_keep = (n_chain - n_burn_hops * n_thin) // n_thin
+    done_hops = done_sweeps // n_thin
     draws: Dict[str, list] = {}
-    for _ in range(n_burn_hops):
+    for _ in range(max(0, n_burn_hops - done_hops)):
         batched = step(batched, keys)
-    for _ in range(n_keep):
+    for k in range(max(0, done_hops - n_burn_hops), n_keep):
         batched = step(batched, keys)
         sample = _collect_batched(batched, plan)
-        for nm in track:
-            if nm in sample:
-                draws.setdefault(nm, []).append(np.asarray(sample[nm]))
+        names = list(sample.keys()) if track == "all" else [
+            nm for nm in track if nm in sample
+        ]
+        for c, w in enumerate(writers):
+            w.put({nm: sample[nm][c] for nm in names})
+        for nm in names:
+            draws.setdefault(nm, []).append(np.asarray(sample[nm]))
+        if checkpoint_every and ckpt_path and (k + 1) % checkpoint_every == 0:
+            for w in writers:
+                w.flush()
+            save_checkpoint(
+                ckpt_path, batched,
+                meta={"fingerprint": fingerprint, "kept_rows": k + 1},
+            )
+        if progress and (k + 1) % max(1, n_keep // 10) == 0:
+            print(f"  kept {k + 1}/{n_keep}")
+    for w in writers:
+        w.close()
     out_draws = {k: np.stack(v, axis=1) for k, v in draws.items()}  # (C, keep, ...)
     rhat = {k: split_rhat(v if v.ndim > 2 else v[..., None]) for k, v in out_draws.items()}
     ess = {k: ess_bulk(v if v.ndim > 2 else v[..., None]) for k, v in out_draws.items()}

@@ -28,3 +28,81 @@ def test_run_chains_rhat(rng):
     assert np.all(np.isfinite(rhat)) and np.all(rhat < 1.5)
     assert out["draws"]["betaM"].shape == (4, 20, p)
     assert np.all(out["ess"]["varE"] > 3)
+
+
+def test_run_chains_writer_and_resume(rng, tmp_path):
+    """A sharded multi-chain run writes per-chain <q>Out files and resumes
+    from its checkpoint to the exact same draws/files (VERDICT r1 weak #8)."""
+    import os
+
+    n, p = 48, 32
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = 1.0 + (g - g.mean(0)) @ rng.normal(0, 0.2, p) + rng.normal(0, 1, n)
+
+    def spec():
+        return ng.ModelSpec(
+            y=y,
+            fixed=[ng.FixedTerm("int", np.ones(n))],
+            markers=[ng.MarkerTerm("M", ng.from_array(g), ng.BayesC(0.2, 0.05))],
+            block_size=8,
+        )
+
+    out1 = str(tmp_path / "full")
+    full = run_chains(
+        spec(), n_chains=2, n_chain=80, n_burn=20, n_thin=10, seed=3,
+        n_shards=2, track=("varE", "betaM"), out_folder=out1,
+    )
+    assert full["draws"]["varE"].shape == (2, 6)
+    f1 = np.loadtxt(os.path.join(out1, "chain1", "varEOut"), skiprows=1)
+    assert f1.shape == (6,)
+    b1 = np.loadtxt(os.path.join(out1, "chain2", "betaMOut"), skiprows=1)
+    assert b1.shape == (6, p)
+
+    # interrupted at kept-sample 3 (checkpoint), then resumed
+    out2 = str(tmp_path / "resumed")
+    run_chains(
+        spec(), n_chains=2, n_chain=50, n_burn=20, n_thin=10, seed=3,
+        n_shards=2, track=("varE", "betaM"), out_folder=out2,
+        checkpoint_every=3,
+    )
+    res = run_chains(
+        spec(), n_chains=2, n_chain=80, n_burn=20, n_thin=10, seed=3,
+        n_shards=2, track=("varE", "betaM"), out_folder=out2,
+        checkpoint_every=3, resume=True,
+    )
+    f2 = np.loadtxt(os.path.join(out2, "chain1", "varEOut"), skiprows=1)
+    np.testing.assert_array_equal(f1, f2)
+    b2 = np.loadtxt(os.path.join(out2, "chain2", "betaMOut"), skiprows=1)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(
+        full["draws"]["varE"][:, 3:], res["draws"]["varE"]
+    )
+
+
+def test_run_chains_fingerprint_guard(rng, tmp_path):
+    """Resuming with a different model (same shapes) must be rejected."""
+    import pytest
+
+    n, p = 40, 32
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = rng.normal(0, 1, n)
+
+    def spec(prior):
+        return ng.ModelSpec(
+            y=y,
+            fixed=[ng.FixedTerm("int", np.ones(n))],
+            markers=[ng.MarkerTerm("M", ng.from_array(g), prior)],
+            block_size=8,
+        )
+
+    out = str(tmp_path / "fp")
+    run_chains(
+        spec(ng.BayesC(0.2, 0.05)), n_chains=1, n_chain=40, n_burn=20,
+        n_thin=10, seed=3, n_shards=1, out_folder=out, checkpoint_every=1,
+    )
+    with pytest.raises(ValueError, match="different model"):
+        run_chains(
+            spec(ng.BayesB(0.2, 0.05)), n_chains=1, n_chain=40, n_burn=20,
+            n_thin=10, seed=3, n_shards=1, out_folder=out, checkpoint_every=1,
+            resume=True,
+        )
