@@ -184,10 +184,13 @@ def _pallas_smoke(jax, n=512, p=768, block=128, n_sweeps=3):
     rng = np.random.default_rng(7)
     g = rng.integers(0, 3, (n, p)).astype(float)
     y = (g - g.mean(0)) @ rng.normal(0, 0.1, p) + rng.normal(0, 1, n)
+    annot = rng.integers(0, 2, (p, 3)) | np.array([1, 0, 0])
     priors = {
         "PR": ng.BayesPR(9999, 0.05),
         "C": ng.BayesC(0.95, 0.05, estimatePi=True),
         "R": ng.BayesR([0.9, 0.05, 0.03, 0.02], [0.0, 1e-4, 1e-3, 1e-2], 1.0),
+        "RCpi": ng.BayesRCpi([0.9, 0.05, 0.05], [0.0, 1e-3, 1e-2], 1.0, annot),
+        "RCplus": ng.BayesRCplus([0.9, 0.05, 0.05], [0.0, 1e-3, 1e-2], 1.0, annot),
     }
     ok = True
     for name, prior in priors.items():

@@ -276,9 +276,18 @@ def parse_formula(
     for key, prior in list(priors.items()):
         if not (isinstance(key, tuple) and isinstance(prior, RandomEffect)):
             continue
-        members = [t for t in random if t.name in key]
-        if len(members) != len(key):
-            raise ValueError(f"correlated prior {key}: unknown random terms")
+        # members ordered by the priors tuple key (the prior covariance rows
+        # are keyed to it), not by formula appearance
+        by_name = {t.name: t for t in random}
+        missing = [k for k in key if k not in by_name]
+        if missing:
+            raise ValueError(f"correlated prior {key}: unknown random terms {missing}")
+        members = [by_name[k] for k in key]
+        if any(m.z is None for m in members):
+            raise ValueError(
+                f"correlated prior {key}: sampler='cg' members cannot join a "
+                "correlated group (dense per-level sampler required)"
+            )
         if len({m.z.shape for m in members}) != 1:
             raise ValueError(f"correlated prior {key}: effects must share levels")
         ivstrs = [m.ivstr for m in members if m.ivstr is not None]
@@ -302,6 +311,34 @@ def parse_formula(
         summary_stats=dict(summary_stats or {}),
         block_size=block_size,
     )
+
+
+def build_lv_design(rhs: str, table, hints: Optional[Dict[str, str]] = None):
+    """Variance-model design for BayesLV from an RHS formula string + table
+    (parity with `modelmatrix(f, covariates)`, mme.jl:426; constructor
+    runTime.jl:133). Columns enter raw (no centering); "1" adds an
+    intercept; string/int columns are dummy-coded (first level dropped,
+    `full_dummy` hint honored). Returns (C, labels) with C (nrow, k)."""
+    fr = _Frame(table)
+    hints = dict(hints or {})
+    cols, labels = [], []
+    for t in _split_terms(rhs.strip()):
+        t = t.strip()
+        if t == "1":
+            cols.append(np.ones((fr.n, 1)))
+            labels.append("intercept")
+            continue
+        col = fr[t]
+        if _is_float_like(col):
+            cols.append(np.asarray(col, np.float64)[:, None])
+            labels.append(t)
+        else:
+            x, lab = _code_categorical(col, t, hints)
+            cols.append(x)
+            labels.extend(lab)
+    if not cols:
+        raise ValueError(f"empty variance-model formula {rhs!r}")
+    return np.concatenate(cols, axis=1), labels
 
 
 def _fixed_design(fr, name, centered, hints):

@@ -100,9 +100,13 @@ class BayesLV:
     """Log-linear variance model: log sigma2_j = C_j c + zeta_j
     (runTime.jl:116-133; sampler functions.jl:421-486).
 
-    covariates: (nSNP, k) design matrix for the variance model (the
-    reference builds it from a formula + DataFrame, mme.jl:426; here the
-    caller passes the design matrix directly or uses api.formula helpers).
+    covariates: the variance-model design — either a prebuilt (nSNP, k)
+    matrix, or an R-style RHS formula string (e.g. "1 + x1 + x2") built
+    against `covariate_table` at assemble time, matching the reference's
+    `BayesLV(v, f::TermOrTerms, covariates::DataFrame, varZeta)` front-end
+    (runTime.jl:133; design via modelmatrix at mme.jl:426). Columns are
+    used raw (no centering); "1" adds an intercept; string/int columns are
+    dummy-coded with the first level dropped.
     estimateVarZeta: False = keep varZeta fixed; True = varZeta <- var(resid);
     float f = varZeta <- f * var(logVar)  (functions.jl:479-485).
     """
@@ -112,6 +116,7 @@ class BayesLV:
     varZeta: float
     estimateVarZeta: Union[bool, float] = False
     name: str = "BayesLV"
+    covariate_table: Any = None  # DataFrame/dict when covariates is a formula
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,11 +96,15 @@ def from_device_array(g, snp_ids=None, chr_ids=None) -> MarkerData:
     """MarkerData over a device-resident (jax.Array) dosage matrix; centering
     stats computed on device. For synthetic/bench pipelines where shipping
     the matrix through the host would dominate wall time."""
+    import jax
     import jax.numpy as jnp
 
     # f64 where enabled (exact, matches the host path under tests); silently
-    # f32 on TPU default config
-    center = jnp.mean(g.astype(jnp.float64), axis=0)
+    # f32 on TPU default config. jit fuses the convert into the reduction so
+    # no full-precision copy of g is ever materialized (a 50k x 75k int8
+    # matrix would need a 15 GB f32 copy otherwise).
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    center = jax.jit(lambda a: jnp.mean(a, axis=0, dtype=acc))(g)
     if snp_ids is None:
         snp_ids = [f"M{i + 1}" for i in range(g.shape[1])]
     return MarkerData(genotypes=g, center=center, snp_ids=list(snp_ids), chr_ids=chr_ids)

@@ -305,49 +305,88 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     p_pad = cdiv(p, block) * block
     nb = p_pad // block
 
+    # resolve virtual shards now: the storage layout depends on it. Block
+    # chain v owns the contiguous blocks [v*T, (v+1)*T); storage interleaves
+    # so the sweep's scan step t slices chain-major (T, V, ...) tiles.
+    vsh = (
+        max(v for v in range(1, int(vshards) + 1) if nb % v == 0)
+        if vshards and vshards > 1
+        else 1
+    )
+    T_ = nb // vsh
+    pad = p_pad - p
+
     g = md.genotypes  # (n, p) int8 or f32
     if isinstance(g, jax.Array):
         # device-resident genotypes (e.g. synthetic benches): blockify with
         # jnp so nothing round-trips the host (the remote-device transfer is
-        # minutes at 600k-SNP scale).
-        center_d = jnp.asarray(md.center)
-        pad = p_pad - p
-        gT = g.T
+        # minutes at 600k-SNP scale). One fused jit builds the final storage
+        # layout directly — transpose/pad/relayout collapse into a single
+        # copy, so peak HBM is input + output (an eager pipeline of these
+        # steps OOMs at 50k x 75k: three 3.7 GB transients).
+        @jax.jit
+        def _build_storage(gg):
+            gT = gg.T
+            if pad:
+                gT = jnp.concatenate([gT, jnp.zeros((pad, n), gT.dtype)])
+            mt_ = gT.reshape(nb, block, n)
+            if vsh > 1:
+                mt_ = mt_.reshape(vsh, T_, block, n).transpose(1, 0, 2, 3)
+            return mt_
+
+        mt_store = _build_storage(g)
+        center_full = jnp.asarray(md.center, dtype)
         if pad:
-            gT = jnp.concatenate([gT, jnp.zeros((pad, n), gT.dtype)])
-            center_d = jnp.concatenate([center_d, jnp.zeros((pad,), center_d.dtype)])
-        mt = gT.reshape(nb, block, n)
-        center_b = center_d.reshape(nb, block).astype(dtype)
-        mt_dev = mt
-        cb_dev = center_b
+            center_full = jnp.concatenate([center_full, jnp.zeros((pad,), dtype)])
     else:
         center = md.center.astype(np.float64)
+        mt_host = _blockify(np.ascontiguousarray(g.T), p_pad, nb, block)
+        if vsh > 1:
+            mt_host = np.ascontiguousarray(
+                mt_host.reshape(vsh, T_, block, n).transpose(1, 0, 2, 3)
+            )
+        mt_store = jnp.asarray(mt_host)
+        center_full = jnp.asarray(
+            np.concatenate([center, np.zeros(pad)]) if pad else center, dtype
+        )
 
-        # blocked transposed storage
-        mt = _blockify(np.ascontiguousarray(g.T), p_pad, nb, block)
-        center_b = _blockify(center, p_pad, nb, block, dtype=dtype)
-
-        # centered Gram blocks computed on-device (MXU): host f64 matmuls
-        # take minutes at production scale. Under x64 (tests) this is still
-        # exact f64.
-        mt_dev = jnp.asarray(mt)
-        cb_dev = jnp.asarray(_blockify(center, p_pad, nb, block), dtype)
+    center_nb = center_full.reshape(nb, block)
+    if vsh > 1:
+        center_store = jnp.swapaxes(center_nb.reshape(vsh, T_, block), 0, 1)
+    else:
+        center_store = center_nb
     di_dev = None if d_inv is None else jnp.asarray(d_inv, dtype)
 
+    # centered Gram blocks computed on-device (MXU): host f64 matmuls take
+    # minutes at production scale. Under x64 (tests) this is still exact
+    # f64. Mapped over single (B, n) blocks regardless of layout so the f32
+    # transient stays ~B*n.
     @jax.jit
-    def _grams(mt_d, cb_d):
+    def _grams(mt_s, cb_s):
         def one(args):
             mtb, cbb = args
             mcb = mtb.astype(dtype) - cbb[:, None]
             gw = (mcb * di_dev) @ mcb.T if di_dev is not None else mcb @ mcb.T
             gr = mcb @ mcb.T if di_dev is not None else gw
             return gw, gr
-        return lax.map(one, (mt_d, cb_d))
+        return lax.map(one, (mt_s.reshape(nb, block, n), cb_s.reshape(nb, block)))
 
-    gram_d, gram_raw_d = _grams(mt_dev, cb_dev)
-    gram = gram_d
-    gram_raw = gram_raw_d if d_inv is not None else None
-    mpm = jnp.diagonal(gram_d, axis1=1, axis2=2)
+    gram_flat, gram_raw_flat = _grams(mt_store, center_store)  # layout order
+    if vsh > 1:
+        # layout order index (t, v) -> locus-major (T, B, V, B) for gram,
+        # original block order (nb, B) for mpm (global block g = v*T + t)
+        def _locus_major(gr):
+            return gr.reshape(T_, vsh, block, block).transpose(0, 2, 1, 3)
+
+        gram_store = _locus_major(gram_flat)
+        graw_store = _locus_major(gram_raw_flat) if d_inv is not None else None
+        mpm = jnp.swapaxes(
+            jnp.diagonal(gram_flat, axis1=1, axis2=2).reshape(T_, vsh, block), 0, 1
+        ).reshape(nb, block)
+    else:
+        gram_store = gram_flat
+        graw_store = gram_raw_flat if d_inv is not None else None
+        mpm = jnp.diagonal(gram_flat, axis1=1, axis2=2)
 
     lhs, rhs = _marker_ss_offsets(p, ss)
     mask = np.zeros(p_pad, bool)
@@ -424,7 +463,18 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
         annot_nz = annot_input != 0
         annot_cat = np.zeros(p_pad, np.int32)
     elif method == METHOD_LV:
-        C = np.asarray(prior.covariates, dtype=np.float64)
+        if isinstance(prior.covariates, str):
+            # formula front-end (runTime.jl:133; design via mme.jl:426)
+            from ..api.formula import build_lv_design
+
+            if prior.covariate_table is None:
+                raise ValueError(
+                    "BayesLV with a formula string needs covariate_table="
+                )
+            C, _ = build_lv_design(prior.covariates, prior.covariate_table)
+            C = np.asarray(C, dtype=np.float64)
+        else:
+            C = np.asarray(prior.covariates, dtype=np.float64)
         if C.ndim == 1:
             C = C[:, None]
         if C.shape[0] != p:
@@ -449,29 +499,6 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
 
     def dev(a, dt=dtype):
         return None if a is None else jnp.asarray(a, dt)
-
-    # resolve virtual shards now: storage layout depends on it
-    vsh = (
-        max(v for v in range(1, int(vshards) + 1) if nb % v == 0)
-        if vshards and vshards > 1 and method != METHOD_RCPLUS
-        else 1
-    )
-    mt_store = jnp.asarray(mt)  # keep int8 (or f32) storage dtype
-    center_store = jnp.asarray(center_b, dtype)
-    gram_store = jnp.asarray(gram, dtype)
-    graw_store = dev(gram_raw)
-    if vsh > 1:
-        # vshard storage layout (engine/samplers/markers.py V-path): block
-        # g = v*T + t lives at step t, shard v. mt (T, V, B, n); gram
-        # locus-major (T, B, V, B) so the in-kernel slice at locus j is a
-        # contiguous (V, B) tile. Laid out once here so the sweep's scan
-        # consumes pure slices — no per-step gather or transpose.
-        T_ = nb // vsh
-        mt_store = mt_store.reshape(vsh, T_, block, n).transpose(1, 0, 2, 3)
-        center_store = center_store.reshape(vsh, T_, block).transpose(1, 0, 2)
-        gram_store = gram_store.reshape(vsh, T_, block, block).transpose(1, 2, 0, 3)
-        if graw_store is not None:
-            graw_store = graw_store.reshape(vsh, T_, block, block).transpose(1, 2, 0, 3)
 
     ms = MarkerState(
         mt=mt_store,
@@ -518,7 +545,7 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
         df=df,
         weighted=d_inv is not None,
         n_lv_cov=n_lv_cov,
-        use_pallas=use_pallas and method in (METHOD_PR, METHOD_B, METHOD_C, METHOD_R, METHOD_LV),
+        use_pallas=use_pallas,
         vshards=vsh,
     )
     return ms, mp

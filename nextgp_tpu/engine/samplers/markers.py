@@ -501,8 +501,33 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
         acat = jnp.where(maskj, a_sel + 1, 0).astype(jnp.int32)
         return bnew, (delta, acat, aprob_new)
 
+    scan_impl = scan_impl_v = None
+    if mp.use_pallas:
+        interp = _interpret_pallas()
+        pk = gibbs_kernels.rcpi_block_pack(
+            ms.beta, z, unif_a, unif_v, g1.reshape(p_l, nA), g2.reshape(p_l, nA),
+            ms.annot_prob.reshape(p_l, nA), ms.annot_nz.reshape(p_l, nA),
+            ms.mpm.reshape(-1), ms.lhs_ss.reshape(-1), ms.rhs_ss.reshape(-1),
+            ms.mask.reshape(-1), varc, log_pi, ive, var_e)
+        lxs = (pk.reshape(nb_l, mp.block, -1),)
+
+        def scan_impl(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
+            beta_new, u, delta, acat, aprob = gibbs_kernels.rcpi_block_scan(
+                gramb, pk_b, nA, K, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), (
+                delta, acat, aprob.astype(dtype))
+
+        def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
+            beta_new, u, delta, acat, aprob = gibbs_kernels.rcpi_block_scan_v(
+                gramb, pk_b, nA, K, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), (
+                delta, acat, aprob.astype(dtype))
+
     ycorr, beta, outs = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
-                                       vshards=mp.vshards)
+                                       scan_impl=scan_impl, vshards=mp.vshards,
+                                       scan_impl_v=scan_impl_v)
     delta = outs[0].reshape(-1)
     acat = outs[1].reshape(-1)
     annot_prob = outs[2].reshape(p_l, nA)
@@ -540,7 +565,13 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
 def _sweep_rcplus(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     """sampleBayesRCplus! (functions.jl:362-419): every non-zero annotation
     contributes an additive component to the locus effect; rhs is recomputed
-    after each component since ycorr shifts (functions.jl:379,400)."""
+    after each component since ycorr shifts (functions.jl:379,400).
+
+    The own-coefficient exclusion of functions.jl:376 is recovered from the
+    _block_scan convention (u_j = beta_old while locus j runs) by
+    subtracting mpm_j*beta_old (mpm == Gram diagonal), so this sampler runs
+    through the shared blocked sweep — vshards and device sharding included.
+    """
     dtype = ycorr.dtype
     kz, ku, kv, kp = jax.random.split(key, 4)
     nb_l, p_l = _local_dims(ms, mp)
@@ -554,66 +585,71 @@ def _sweep_rcplus(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     lxs = tuple(_blockify_dev(a, nb_l, mp.block) for a in (z, unif, ms.annot_nz)) + (
         ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
 
-    def block_body(ycorr, xs):
-        mtb, cb, gramb, beta_old_b, lx = xs
-        mtf = mtb.astype(dtype)
-        if d_inv is not None:
-            yw = d_inv * ycorr
-            r0 = mtf @ yw - cb * jnp.sum(yw)
-        else:
-            r0 = mtf @ ycorr - cb * jnp.sum(ycorr)
+    def locus_fn(pre, pre_raw, bold, lx):
+        zj, uj, anzj, mpmj, lssj, rssj, maskj = lx
+        base = pre - mpmj * bold  # exclude own coefficient (functions.jl:376)
+        mpm_safe = jnp.where(maskj, mpmj, 1.0)
 
-        def body(u, xsj):
-            j, grow, r0j, bold, (zj, uj, anzj, mpmj, lssj, rssj, maskj) = xsj
-            u = u.at[j].set(0.0)
-            base = r0j + grow @ u  # rhs dot with own coefficient excluded
-            gjj = grow[j]
-            mpm_safe = jnp.where(maskj, mpmj, 1.0)
+        def annot_step(carry, ax):
+            uj_c, temp_beta, delta_c = carry
+            varc_a, log_pi_a, za, ua, anz_a = ax
+            rhs = (base + mpmj * uj_c) * ive + rssj
+            nz = varc_a > 0
+            lhs_v = jnp.where(nz, mpm_safe * ive + lssj + 1.0 / jnp.where(nz, varc_a, 1.0), 0.0)
+            logl = jnp.where(
+                nz,
+                -0.5 * (jnp.log(jnp.where(nz, varc_a * lhs_v, 1.0)) - rhs * rhs / jnp.where(nz, lhs_v, 1.0)),
+                0.0,
+            ) + log_pi_a
+            logl = logl - jnp.max(logl)
+            expl = jnp.exp(logl)
+            cls = categorical_from_probs(ua, expl / jnp.sum(expl))
+            active = anz_a & maskj
+            sel_nz = nz[cls] & active
+            lhs_sel = lhs_v[cls]
+            bs = jnp.where(sel_nz, rhs / lhs_sel + za * jnp.sqrt(1.0 / lhs_sel), 0.0)
+            uj_c = uj_c - bs
+            temp_beta = temp_beta + bs
+            delta_c = jnp.where(active, cls + 1, delta_c).astype(jnp.int32)
+            return (uj_c, temp_beta, delta_c), (
+                jnp.where(active, cls + 1, 0).astype(jnp.int32), bs, sel_nz)
 
-            def annot_step(carry, ax):
-                uj_c, temp_beta, delta_c = carry
-                varc_a, log_pi_a, za, ua, anz_a = ax
-                rhs = (base + gjj * uj_c) * ive + rssj
-                nz = varc_a > 0
-                lhs_v = jnp.where(nz, mpm_safe * ive + lssj + 1.0 / jnp.where(nz, varc_a, 1.0), 0.0)
-                logl = jnp.where(
-                    nz,
-                    -0.5 * (jnp.log(jnp.where(nz, varc_a * lhs_v, 1.0)) - rhs * rhs / jnp.where(nz, lhs_v, 1.0)),
-                    0.0,
-                ) + log_pi_a
-                logl = logl - jnp.max(logl)
-                expl = jnp.exp(logl)
-                cls = categorical_from_probs(ua, expl / jnp.sum(expl))
-                active = anz_a & maskj
-                sel_nz = nz[cls] & active
-                lhs_sel = lhs_v[cls]
-                bs = jnp.where(sel_nz, rhs / lhs_sel + za * jnp.sqrt(1.0 / lhs_sel), 0.0)
-                uj_c = uj_c - bs
-                temp_beta = temp_beta + bs
-                delta_c = jnp.where(active, cls + 1, delta_c).astype(jnp.int32)
-                return (uj_c, temp_beta, delta_c), (
-                    jnp.where(active, cls + 1, 0).astype(jnp.int32), bs, sel_nz)
+        init = (bold, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
+        (ujf, bnew, delta_j), (cls_a, bs_a, nz_a) = lax.scan(
+            annot_step, init, (varc, log_pi, zj, uj, anzj))
+        return bnew, (delta_j, cls_a, bs_a, nz_a)
 
-            init = (bold, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
-            (ujf, bnew, delta_j), (cls_a, bs_a, nz_a) = lax.scan(
-                annot_step, init, (varc, log_pi, zj, uj, anzj))
-            u = u.at[j].set(ujf)
-            return u, (bnew, delta_j, cls_a, bs_a, nz_a)
+    scan_impl = scan_impl_v = None
+    if mp.use_pallas:
+        interp = _interpret_pallas()
+        pk = gibbs_kernels.rcplus_block_pack(
+            ms.beta, z.reshape(p_l, nA), unif.reshape(p_l, nA),
+            ms.annot_nz.reshape(p_l, nA), ms.mpm.reshape(-1),
+            ms.lhs_ss.reshape(-1), ms.rhs_ss.reshape(-1), ms.mask.reshape(-1),
+            varc, log_pi, ive, var_e)
+        lxs = (pk.reshape(nb_l, mp.block, -1),)
 
-        B_ = r0.shape[0]
-        u0 = jnp.zeros((B_,), dtype)
-        u, outs = lax.scan(body, u0, (jnp.arange(B_), gramb, r0, beta_old_b, lx))
-        correction = u @ mtf - jnp.dot(u, cb)
-        ycorr = ycorr + ctx.psum(correction)
-        return ycorr, outs
+        def scan_impl(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
+            beta_new, u, delta, cls_a, bs_a, nz_a = gibbs_kernels.rcplus_block_scan(
+                gramb, pk_b, nA, K, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), (
+                delta, cls_a, bs_a.astype(dtype), nz_a > 0)
 
-    xs = (ms.mt, ms.center, ms.gram, ms.beta.reshape(ms.mpm.shape), lxs)
-    ycorr, outs = lax.scan(block_body, ycorr, xs)
-    beta = outs[0].reshape(-1)
-    delta = outs[1].reshape(-1)
-    cls_a = outs[2].reshape(p_l, nA)
-    bs_a = outs[3].reshape(p_l, nA)
-    nz_a = outs[4].reshape(p_l, nA)
+        def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
+            pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
+            beta_new, u, delta, cls_a, bs_a, nz_a = gibbs_kernels.rcplus_block_scan_v(
+                gramb, pk_b, nA, K, interpret=interp)
+            return u.astype(dtype), beta_new.astype(dtype), (
+                delta, cls_a, bs_a.astype(dtype), nz_a > 0)
+
+    ycorr, beta, outs = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
+                                       scan_impl=scan_impl, vshards=mp.vshards,
+                                       scan_impl_v=scan_impl_v)
+    delta = outs[0].reshape(-1)
+    cls_a = outs[1].reshape(p_l, nA)
+    bs_a = outs[2].reshape(p_l, nA)
+    nz_a = outs[3].reshape(p_l, nA)
 
     cls0 = jnp.clip(cls_a - 1, 0, K - 1)
     vsel = ms.v_class[cls0]

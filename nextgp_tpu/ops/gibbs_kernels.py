@@ -360,3 +360,458 @@ def r_block_scan_v(gram_t, pk, n_classes, interpret=False):
     pk_t = jnp.swapaxes(pk, 0, 1)
     beta, u, delta = _call_v(_make_r_kernel_v(n_classes), gram_t, pk_t, 1, interpret)
     return beta, u, delta
+
+# ------------------------------------------------------------ BayesRCpi scan
+#
+# Per locus the class grid is (nA, K): annotation drawn from
+# annotProb * sum_k exp(logl), then the variance class within the chosen
+# annotation (sampleBayesRCpi!, functions.jl:291-360). Mosaic dislikes
+# 2-D grids with dynamically-masked cross reductions, so the kernel works
+# entirely on flat (AK,) vectors with an (AK, AK) prefix mask — the same op
+# vocabulary as the proven BayesR kernel:
+#   * annotation CDF: inclusive prefix of aprob*e over AK, read at row-end
+#     lanes (akiota % K == K-1)
+#   * class CDF within the chosen row: prefix of e restricted to
+#     aid == a_sel (zero elsewhere, so the flat prefix IS the row prefix)
+# All per-annotation inputs are packed AK-expanded; the Dirichlet
+# annotation-prob update outputs AK-expanded probs, decimated (::K) by the
+# caller.
+#
+# pk layout (W = 8 + 8AK):
+#   [adj, bold, ua, uv, mask, pad3 | aprobK, g1K, g2K, anzK,
+#    q0, q1, bco, cco] (AK each)
+
+
+@jax.jit
+def rcpi_block_pack(beta_old, z, ua, uv, g1, g2, aprob, anz, mpm, lss, rss,
+                    mask, varc, logpi, ive, var_e):
+    A, K = varc.shape
+    nz = varc > 0
+    varc_s = jnp.where(nz, varc, 1.0)
+    mpm_safe = jnp.where(mask, mpm, 1.0)
+    lhs = jnp.where(
+        nz[None], mpm_safe[:, None, None] * ive + lss[:, None, None] + 1.0 / varc_s[None], 0.0
+    )
+    lhs_s = jnp.where(nz[None], lhs, 1.0)
+    invlhs = jnp.where(nz[None], 1.0 / lhs_s, 0.0)
+    q0 = jnp.where(nz[None], -0.5 * jnp.log(varc_s[None] * lhs_s), 0.0) + logpi[None]
+    q1 = 0.5 * invlhs * ive * ive
+    bco = jnp.where(mask[:, None, None], ive * invlhs, 0.0)
+    cco = jnp.where(mask[:, None, None], z[:, None, None] * jnp.sqrt(invlhs), 0.0)
+    p = beta_old.shape[0]
+    adj = mpm * beta_old + rss * var_e
+    head = _pack(adj, beta_old, ua, uv, mask.astype(F32))
+    expand = lambda x: jnp.repeat(x.astype(F32), K, axis=1)  # (p, A) -> (p, AK)
+    flat = [x.reshape(p, A * K).astype(F32) for x in (q0, q1, bco, cco)]
+    return jnp.concatenate(
+        [head, expand(aprob), expand(g1), expand(g2), expand(anz.astype(F32))]
+        + flat, axis=1)
+
+
+def _make_rcpi_kernel(A, K):
+    AK = A * K
+    o = 8
+    oap, og1, og2, oaz = o, o + AK, o + 2 * AK, o + 3 * AK
+    oq0, oq1, obc, occ = o + 4 * AK, o + 5 * AK, o + 6 * AK, o + 7 * AK
+
+    def kern(gram_ref, pk_ref, beta_ref, u_ref, delta_ref, acat_ref, aprob_ref):
+        B = u_ref.shape[1]
+        lane = _lane_iota(B)
+        akiota = jax.lax.broadcasted_iota(jnp.int32, (1, AK), 1)[0]
+        aid = akiota // K
+        rowend = akiota - aid * K == K - 1
+        tri = akiota[:, None] <= akiota[None, :]  # inclusive prefix mask
+
+        def body(j, u):
+            s = pk_ref[pl.ds(j, 1), :][0]
+            row = gram_ref[pl.ds(j, 1), :]
+            pre = s[0] + jnp.sum(row * u)
+            q0 = s[oq0:oq0 + AK]
+            q1 = s[oq1:oq1 + AK]
+            bco = s[obc:obc + AK]
+            cco = s[occ:occ + AK]
+            anzk = s[oaz:oaz + AK]
+            aprobk = s[oap:oap + AK]
+            logl = q0 + q1 * pre * pre
+            logl = logl - jnp.max(logl)
+            e = jnp.exp(logl) * anzk
+            w = aprobk * e
+            wn = w / jnp.sum(w)
+            cumw = jnp.sum(jnp.where(tri, wn[:, None], 0.0), axis=0)
+            a_sel = jnp.sum(((cumw < s[2]) & rowend).astype(jnp.int32)).astype(jnp.int32)
+            in_row = aid == a_sel
+            ej = jnp.where(in_row, e, 0.0)
+            pj = ej / jnp.sum(ej)
+            cumj = jnp.sum(jnp.where(tri, pj[:, None], 0.0), axis=0)
+            cls = jnp.sum(((cumj < s[3]) & in_row).astype(jnp.int32)).astype(jnp.int32)
+            idx = a_sel * K + cls
+            hot = akiota == idx
+            bnew = jnp.sum(jnp.where(hot, cco + bco * pre, 0.0))
+            gamk = jnp.where(in_row, s[og2:og2 + AK], s[og1:og1 + AK]) * anzk
+            apk = gamk * float(K) / jnp.sum(gamk)
+            ap_out = jnp.where(s[4] != 0, apk, aprobk)
+            beta_ref[pl.ds(j, 1), 0] = bnew[None]
+            delta_ref[pl.ds(j, 1), 0] = (
+                jnp.where(s[4] != 0, cls + 1, 0).astype(jnp.int32)[None])
+            acat_ref[pl.ds(j, 1), 0] = (
+                jnp.where(s[4] != 0, a_sel + 1, 0).astype(jnp.int32)[None])
+            aprob_ref[pl.ds(j, 1), :] = ap_out[None]
+            return jnp.where(lane == j, s[1] - bnew, u)
+
+        u = jax.lax.fori_loop(0, B, body, jnp.zeros((1, B), F32))
+        u_ref[:, :] = u
+
+    return kern
+
+
+def rcpi_block_scan(gram, pk_b, A, K, interpret=False):
+    B = gram.shape[0]
+    outs = (
+        jax.ShapeDtypeStruct((B, 1), F32),  # beta
+        jax.ShapeDtypeStruct((1, B), F32),  # u
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),  # delta
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),  # acat
+        jax.ShapeDtypeStruct((B, A * K), F32),  # annot probs (AK-expanded)
+    )
+    beta, u, delta, acat, aprob = pl.pallas_call(
+        _make_rcpi_kernel(A, K),
+        out_shape=outs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
+        interpret=interpret,
+    )(gram.astype(F32), pk_b)
+    return beta[:, 0], u[0], delta[:, 0], acat[:, 0], aprob[:, ::K]
+
+
+def _make_rcpi_kernel_v(A, K):
+    AK = A * K
+    o = 8
+    oap, og1, og2, oaz = o, o + AK, o + 2 * AK, o + 3 * AK
+    oq0, oq1, obc, occ = o + 4 * AK, o + 5 * AK, o + 6 * AK, o + 7 * AK
+
+    def kern(gram_ref, pk_ref, beta_ref, u_ref, delta_ref, acat_ref, aprob_ref):
+        V, B = u_ref.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (V, B), 1)
+        ak1 = jax.lax.broadcasted_iota(jnp.int32, (1, AK), 1)[0]
+        aid1 = ak1 // K
+        rowend1 = ak1 - aid1 * K == K - 1
+        tri = ak1[:, None] <= ak1[None, :]
+        akV = jax.lax.broadcasted_iota(jnp.int32, (V, AK), 1)
+        aidV = akV // K
+
+        def body(j, carry):
+            u, beta, delta, acat = carry
+            s = pk_ref[pl.ds(j, 1), :, :][0]  # (V, W)
+            row = gram_ref[pl.ds(j, 1), :, :][0]  # (V, B)
+            pre = s[:, 0] + jnp.sum(row * u, axis=-1)  # (V,)
+            q0 = s[:, oq0:oq0 + AK]
+            q1 = s[:, oq1:oq1 + AK]
+            bco = s[:, obc:obc + AK]
+            cco = s[:, occ:occ + AK]
+            anzk = s[:, oaz:oaz + AK]
+            aprobk = s[:, oap:oap + AK]
+            logl = q0 + q1 * (pre * pre)[:, None]  # (V, AK)
+            logl = logl - jnp.max(logl, axis=-1, keepdims=True)
+            e = jnp.exp(logl) * anzk
+            w = aprobk * e
+            wn = w / jnp.sum(w, axis=-1, keepdims=True)
+            cumw = jnp.sum(jnp.where(tri[None], wn[:, :, None], 0.0), axis=1)
+            a_sel = jnp.sum(
+                ((cumw < s[:, 2:3]) & rowend1[None]).astype(jnp.int32), axis=-1
+            ).astype(jnp.int32)  # (V,)
+            in_row = aidV == a_sel[:, None]
+            ej = jnp.where(in_row, e, 0.0)
+            pj = ej / jnp.sum(ej, axis=-1, keepdims=True)
+            cumj = jnp.sum(jnp.where(tri[None], pj[:, :, None], 0.0), axis=1)
+            cls = jnp.sum(
+                ((cumj < s[:, 3:4]) & in_row).astype(jnp.int32), axis=-1
+            ).astype(jnp.int32)
+            idx = a_sel * K + cls
+            hot = akV == idx[:, None]
+            bnew = jnp.sum(jnp.where(hot, cco + bco * pre[:, None], 0.0), axis=-1)
+            gamk = jnp.where(in_row, s[:, og2:og2 + AK], s[:, og1:og1 + AK]) * anzk
+            apk = gamk * float(K) / jnp.sum(gamk, axis=-1, keepdims=True)
+            ap_out = jnp.where((s[:, 4] != 0)[:, None], apk, aprobk)
+            dval = jnp.where(s[:, 4] != 0, cls + 1, 0).astype(jnp.int32)
+            aval = jnp.where(s[:, 4] != 0, a_sel + 1, 0).astype(jnp.int32)
+            aprob_ref[pl.ds(j, 1), :, :] = ap_out[None]
+            sel = lane == j
+            u = jnp.where(sel, (s[:, 1] - bnew)[:, None], u)
+            beta = jnp.where(sel, bnew[:, None], beta)
+            delta = jnp.where(sel, dval[:, None], delta)
+            acat = jnp.where(sel, aval[:, None], acat)
+            return u, beta, delta, acat
+
+        u, beta, delta, acat = jax.lax.fori_loop(
+            0, B, body,
+            (jnp.zeros((V, B), F32), jnp.zeros((V, B), F32),
+             jnp.zeros((V, B), jnp.int32), jnp.zeros((V, B), jnp.int32)),
+        )
+        beta_ref[:, :] = beta
+        u_ref[:, :] = u
+        delta_ref[:, :] = delta
+        acat_ref[:, :] = acat
+
+    return kern
+
+
+def rcpi_block_scan_v(gram_t, pk, A, K, interpret=False):
+    """gram_t locus-major (B,V,B), pk (V,B,W). Returns (V,B) beta/u/delta/
+    acat and (V,B,A) annot probs (written locus-major AK-expanded, re-majored
+    and decimated here)."""
+    B, V, _ = gram_t.shape
+    pk_t = jnp.swapaxes(pk, 0, 1)  # (B, V, W)
+    outs = (
+        jax.ShapeDtypeStruct((V, B), F32),
+        jax.ShapeDtypeStruct((V, B), F32),
+        jax.ShapeDtypeStruct((V, B), jnp.int32),
+        jax.ShapeDtypeStruct((V, B), jnp.int32),
+        jax.ShapeDtypeStruct((B, V, A * K), F32),
+    )
+    beta, u, delta, acat, aprob = pl.pallas_call(
+        _make_rcpi_kernel_v(A, K),
+        out_shape=outs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
+        interpret=interpret,
+    )(gram_t.astype(F32), pk_t.astype(F32))
+    return beta, u, delta, acat, jnp.swapaxes(aprob, 0, 1)[:, :, ::K]
+
+
+# ---------------------------------------------------------- BayesRCplus scan
+#
+# Additive per-annotation components (sampleBayesRCplus!, functions.jl:
+# 362-419): the locus effect is the sum of one draw per non-zero annotation,
+# with the rhs recomputed after each component. The own-coefficient
+# exclusion of functions.jl:376 uses g_jj (Gram diagonal) read from the row;
+# the inner loop over annotations is a fori_loop on flat (AK,) vectors with
+# the same prefix-mask vocabulary as the RCpi kernel.
+#
+# pk layout (W = 8 + 6AK):
+#   [adj(=rss*varE), bold, mask, pad5 | uaK, anzK, q0, q1, bco, cco] (AK each)
+
+
+@jax.jit
+def rcplus_block_pack(beta_old, z, ua, anz, mpm, lss, rss, mask, varc, logpi,
+                      ive, var_e):
+    A, K = varc.shape
+    nz = varc > 0
+    varc_s = jnp.where(nz, varc, 1.0)
+    mpm_safe = jnp.where(mask, mpm, 1.0)
+    lhs = jnp.where(
+        nz[None], mpm_safe[:, None, None] * ive + lss[:, None, None] + 1.0 / varc_s[None], 0.0
+    )
+    lhs_s = jnp.where(nz[None], lhs, 1.0)
+    invlhs = jnp.where(nz[None], 1.0 / lhs_s, 0.0)
+    q0 = jnp.where(nz[None], -0.5 * jnp.log(varc_s[None] * lhs_s), 0.0) + logpi[None]
+    q1 = 0.5 * invlhs * ive * ive
+    active = mask[:, None] & anz  # (p, A)
+    bco = jnp.where(active[:, :, None], ive * invlhs, 0.0)
+    cco = jnp.where(active[:, :, None], z[:, :, None] * jnp.sqrt(invlhs), 0.0)
+    p = mpm.shape[0]
+    adj = rss * var_e
+    head = _pack(adj, beta_old, mask.astype(F32))
+    expand = lambda x: jnp.repeat(x.astype(F32), K, axis=1)
+    flat = [x.reshape(p, A * K).astype(F32) for x in (q0, q1, bco, cco)]
+    return jnp.concatenate([head, expand(ua), expand(anz.astype(F32))] + flat, axis=1)
+
+
+def _make_rcplus_kernel(A, K):
+    AK = A * K
+    oua, oaz = 8, 8 + AK
+    o0 = 8 + 2 * AK
+    oq0, oq1, obc, occ = o0, o0 + AK, o0 + 2 * AK, o0 + 3 * AK
+
+    def kern(gram_ref, pk_ref, beta_ref, u_ref, delta_ref,
+             cls_ref, bs_ref, nza_ref):
+        B = u_ref.shape[1]
+        lane = _lane_iota(B)
+        akiota = jax.lax.broadcasted_iota(jnp.int32, (1, AK), 1)[0]
+        aid = akiota // K
+        tri = akiota[:, None] <= akiota[None, :]
+        aiota = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)[0]
+
+        def body(j, u):
+            s = pk_ref[pl.ds(j, 1), :][0]
+            row = gram_ref[pl.ds(j, 1), :]
+            base = s[0] + jnp.sum(row * u)  # own coefficient excluded (u_j = 0)
+            gjj = jnp.sum(jnp.where(lane == j, row, 0.0))
+            bold = s[1]
+            q0 = s[oq0:oq0 + AK]
+            q1 = s[oq1:oq1 + AK]
+            bco = s[obc:obc + AK]
+            cco = s[occ:occ + AK]
+            uak = s[oua:oua + AK]
+            anzk = s[oaz:oaz + AK]
+            maskj = s[2] != 0
+
+            def astep(a, carry):
+                ujc, tempb, deltaj, clsA, bsA, nzA = carry
+                prea = base + gjj * ujc
+                in_a = aid == a
+                logl = q0 + q1 * prea * prea
+                m = jnp.max(jnp.where(in_a, logl, -1e30))
+                ek = jnp.where(in_a, jnp.exp(logl - m), 0.0)
+                pj = ek / jnp.sum(ek)
+                cumj = jnp.sum(jnp.where(tri, pj[:, None], 0.0), axis=0)
+                ua_a = jnp.sum(jnp.where(akiota == a * K, uak, 0.0))
+                anz_a = jnp.sum(jnp.where(akiota == a * K, anzk, 0.0)) != 0
+                cls = jnp.sum(((cumj < ua_a) & in_a).astype(jnp.int32)).astype(jnp.int32)
+                hot = akiota == a * K + cls
+                bsel = jnp.sum(jnp.where(hot, bco, 0.0))
+                sel_nz = bsel > 0.0  # bco zeroed for null class / inactive
+                bs = jnp.sum(jnp.where(hot, cco + bco * prea, 0.0))
+                activ = anz_a & maskj
+                ujc = ujc - bs
+                tempb = tempb + bs
+                deltaj = jnp.where(activ, cls + 1, deltaj).astype(jnp.int32)
+                hotA = aiota == a
+                clsA = jnp.where(hotA, jnp.where(activ, cls + 1, 0), clsA).astype(jnp.int32)
+                bsA = jnp.where(hotA, bs, bsA)
+                nzA = jnp.where(hotA, sel_nz.astype(jnp.int32), nzA)
+                return ujc, tempb, deltaj, clsA, bsA, nzA
+
+            init = (bold, jnp.zeros((), F32), jnp.zeros((), jnp.int32),
+                    jnp.zeros((A,), jnp.int32), jnp.zeros((A,), F32),
+                    jnp.zeros((A,), jnp.int32))
+            ujf, bnew, deltaj, clsA, bsA, nzA = jax.lax.fori_loop(0, A, astep, init)
+            beta_ref[pl.ds(j, 1), 0] = bnew[None]
+            delta_ref[pl.ds(j, 1), 0] = deltaj[None]
+            cls_ref[pl.ds(j, 1), :] = clsA[None]
+            bs_ref[pl.ds(j, 1), :] = bsA[None]
+            nza_ref[pl.ds(j, 1), :] = nzA[None]
+            return jnp.where(lane == j, ujf, u)
+
+        u = jax.lax.fori_loop(0, B, body, jnp.zeros((1, B), F32))
+        u_ref[:, :] = u
+
+    return kern
+
+
+def rcplus_block_scan(gram, pk_b, A, K, interpret=False):
+    B = gram.shape[0]
+    outs = (
+        jax.ShapeDtypeStruct((B, 1), F32),
+        jax.ShapeDtypeStruct((1, B), F32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, A), jnp.int32),
+        jax.ShapeDtypeStruct((B, A), F32),
+        jax.ShapeDtypeStruct((B, A), jnp.int32),
+    )
+    beta, u, delta, cls_a, bs_a, nz_a = pl.pallas_call(
+        _make_rcplus_kernel(A, K),
+        out_shape=outs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
+        interpret=interpret,
+    )(gram.astype(F32), pk_b)
+    return beta[:, 0], u[0], delta[:, 0], cls_a, bs_a, nz_a
+
+
+def _make_rcplus_kernel_v(A, K):
+    AK = A * K
+    oua, oaz = 8, 8 + AK
+    o0 = 8 + 2 * AK
+    oq0, oq1, obc, occ = o0, o0 + AK, o0 + 2 * AK, o0 + 3 * AK
+
+    def kern(gram_ref, pk_ref, beta_ref, u_ref, delta_ref,
+             cls_ref, bs_ref, nza_ref):
+        V, B = u_ref.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (V, B), 1)
+        ak1 = jax.lax.broadcasted_iota(jnp.int32, (1, AK), 1)[0]
+        aid1 = ak1 // K
+        tri = ak1[:, None] <= ak1[None, :]
+        akV = jax.lax.broadcasted_iota(jnp.int32, (V, AK), 1)
+        aiotaV = jax.lax.broadcasted_iota(jnp.int32, (V, A), 1)
+
+        def body(j, carry):
+            u, beta, delta = carry
+            s = pk_ref[pl.ds(j, 1), :, :][0]  # (V, W)
+            row = gram_ref[pl.ds(j, 1), :, :][0]  # (V, B)
+            base = s[:, 0] + jnp.sum(row * u, axis=-1)  # (V,)
+            gjj = jnp.sum(jnp.where(lane == j, row, 0.0), axis=-1)
+            boldv = s[:, 1]
+            q0 = s[:, oq0:oq0 + AK]
+            q1 = s[:, oq1:oq1 + AK]
+            bco = s[:, obc:obc + AK]
+            cco = s[:, occ:occ + AK]
+            uak = s[:, oua:oua + AK]
+            anzk = s[:, oaz:oaz + AK]
+            maskj = s[:, 2] != 0
+
+            def astep(a, ac):
+                ujc, tempb, deltaj, clsA, bsA, nzA = ac
+                prea = base + gjj * ujc  # (V,)
+                in_a = aid1 == a  # (AK,)
+                logl = q0 + q1 * (prea * prea)[:, None]  # (V, AK)
+                m = jnp.max(jnp.where(in_a[None], logl, -1e30), axis=-1, keepdims=True)
+                ek = jnp.where(in_a[None], jnp.exp(logl - m), 0.0)
+                pj = ek / jnp.sum(ek, axis=-1, keepdims=True)
+                cumj = jnp.sum(jnp.where(tri[None], pj[:, :, None], 0.0), axis=1)
+                ua_a = jnp.sum(jnp.where(akV == a * K, uak, 0.0), axis=-1)  # (V,)
+                anz_a = jnp.sum(jnp.where(akV == a * K, anzk, 0.0), axis=-1) != 0
+                cls = jnp.sum(
+                    ((cumj < ua_a[:, None]) & in_a[None]).astype(jnp.int32), axis=-1
+                ).astype(jnp.int32)
+                hot = akV == (a * K + cls)[:, None]
+                bsel = jnp.sum(jnp.where(hot, bco, 0.0), axis=-1)
+                sel_nz = bsel > 0.0
+                bs = jnp.sum(jnp.where(hot, cco + bco * prea[:, None], 0.0), axis=-1)
+                activ = anz_a & maskj
+                ujc = ujc - bs
+                tempb = tempb + bs
+                deltaj = jnp.where(activ, cls + 1, deltaj).astype(jnp.int32)
+                hotA = aiotaV == a
+                clsA = jnp.where(
+                    hotA, jnp.where(activ, cls + 1, 0)[:, None], clsA
+                ).astype(jnp.int32)
+                bsA = jnp.where(hotA, bs[:, None], bsA)
+                nzA = jnp.where(hotA, sel_nz.astype(jnp.int32)[:, None], nzA)
+                return ujc, tempb, deltaj, clsA, bsA, nzA
+
+            init = (boldv, jnp.zeros((V,), F32), jnp.zeros((V,), jnp.int32),
+                    jnp.zeros((V, A), jnp.int32), jnp.zeros((V, A), F32),
+                    jnp.zeros((V, A), jnp.int32))
+            ujf, bnew, deltaj, clsA, bsA, nzA = jax.lax.fori_loop(0, A, astep, init)
+            cls_ref[pl.ds(j, 1), :, :] = clsA[None]
+            bs_ref[pl.ds(j, 1), :, :] = bsA[None]
+            nza_ref[pl.ds(j, 1), :, :] = nzA[None]
+            sel = lane == j
+            u = jnp.where(sel, ujf[:, None], u)
+            beta = jnp.where(sel, bnew[:, None], beta)
+            delta = jnp.where(sel, deltaj[:, None], delta)
+            return u, beta, delta
+
+        u, beta, delta = jax.lax.fori_loop(
+            0, B, body,
+            (jnp.zeros((V, B), F32), jnp.zeros((V, B), F32), jnp.zeros((V, B), jnp.int32)),
+        )
+        beta_ref[:, :] = beta
+        u_ref[:, :] = u
+        delta_ref[:, :] = delta
+
+    return kern
+
+
+def rcplus_block_scan_v(gram_t, pk, A, K, interpret=False):
+    """gram_t locus-major (B,V,B), pk (V,B,W). Returns (V,B) beta/u/delta and
+    (V,B,A) cls/bs/nz (written locus-major, re-majored here)."""
+    B, V, _ = gram_t.shape
+    pk_t = jnp.swapaxes(pk, 0, 1)  # (B, V, W)
+    outs = (
+        jax.ShapeDtypeStruct((V, B), F32),
+        jax.ShapeDtypeStruct((V, B), F32),
+        jax.ShapeDtypeStruct((V, B), jnp.int32),
+        jax.ShapeDtypeStruct((B, V, A), jnp.int32),
+        jax.ShapeDtypeStruct((B, V, A), F32),
+        jax.ShapeDtypeStruct((B, V, A), jnp.int32),
+    )
+    beta, u, delta, cls_a, bs_a, nz_a = pl.pallas_call(
+        _make_rcplus_kernel_v(A, K),
+        out_shape=outs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
+        interpret=interpret,
+    )(gram_t.astype(F32), pk_t.astype(F32))
+    return (beta, u, delta, jnp.swapaxes(cls_a, 0, 1),
+            jnp.swapaxes(bs_a, 0, 1), jnp.swapaxes(nz_a, 0, 1))

@@ -61,6 +61,72 @@ def _headers(spec: ModelSpec, plan: SweepPlan) -> Dict[str, List[str]]:
     return h
 
 
+def model_card(spec: ModelSpec, plan: SweepPlan) -> str:
+    """Assemble-time summary of the resolved model: what the reference
+    prints as input/analysis tables (prepMatVec.jl:172-173, mme.jl:537-538)
+    and green prior-resolution notices (mme.jl:29-41,67-80,290,336). Every
+    silently-substituted default is spelled out."""
+    lines = [f"Model: n = {plan.n} observations, dtype {plan.dtype}"]
+    res = spec.residual
+    if res is None:
+        lines.append("  residual: Random('I', 100.0)  [default — no 'e' prior given]")
+    else:
+        s = res.str_ if isinstance(res.str_, str) else "D (weights)"
+        lines.append(f"  residual: Random({s!r}, {res.v})")
+    lines.append(f"    df = {plan.e_df}, weighted = {plan.weighted}")
+    for fp in plan.fixed:
+        nm = fp.name if isinstance(fp.name, str) else " + ".join(fp.name)
+        kind = "blocked fixed" if isinstance(fp.name, tuple) else "fixed"
+        lines.append(f"  {kind}: {nm}  ({fp.k} column{'s' if fp.k != 1 else ''})")
+    by_name = {t.name: t for t in spec.random}
+    for rp in plan.random:
+        nm = rp.name if isinstance(rp.name, str) else " + ".join(rp.name)
+        t = by_name.get(rp.name)
+        label = getattr(t, "structure_label", None) or "I"
+        dflt = "" if (t is None or t.prior is not None) else "  [default Random('I', 100.0)]"
+        corr = ", correlated" if rp.correlated else ""
+        lines.append(
+            f"  random: {nm}  ({rp.q} levels, structure {label}, "
+            f"sampler {rp.sampler}{corr}, df {rp.df}){dflt}"
+        )
+    spec_m = {t.name: t for t in spec.markers}
+    for mp in plan.markers:
+        t = spec_m.get(mp.name)
+        dflt = (
+            "  [default BayesPR(9999, 0.05) — no prior given]"
+            if (t is not None and t.prior is None)
+            else ""
+        )
+        extra = []
+        if mp.n_classes:
+            extra.append(f"{mp.n_classes} classes")
+        if mp.n_annot:
+            extra.append(f"{mp.n_annot} annotations")
+        if mp.method == "BayesPR":
+            extra.append(f"{mp.n_regions} region{'s' if mp.n_regions != 1 else ''}")
+        if mp.est_pi:
+            extra.append("estimate pi")
+        extra.append(f"df {mp.df}")
+        extra.append(f"block {mp.block} x {mp.n_blocks}")
+        if mp.vshards > 1:
+            extra.append(f"vshards {mp.vshards}")
+        if mp.use_pallas:
+            extra.append("pallas")
+        lines.append(
+            f"  markers: {mp.name}  ({mp.method}, {mp.p} loci, "
+            + ", ".join(extra) + f"){dflt}"
+        )
+    for cp in plan.corr_markers:
+        lines.append(
+            f"  correlated markers: {' + '.join(cp.names)}  "
+            f"(BayesPR, {cp.p} loci, {cp.n_t} sets, {cp.n_regions} regions)"
+        )
+    for key in spec.summary_stats:
+        nm = key if isinstance(key, str) else " + ".join(key)
+        lines.append(f"  summary statistics attached to: {nm}")
+    return "\n".join(lines)
+
+
 @dataclass
 class LMEMResult:
     plan: SweepPlan
@@ -110,6 +176,8 @@ def run_lmem(
     if out_folder and not resuming:
         folder_handler(out_folder)
     plan, state = assemble(spec, dtype=dtype, vshards=vshards)
+    if progress:
+        print(model_card(spec, plan))
     fingerprint = plan_fingerprint(plan)
     runner = make_chain_runner(plan, n_thin)
     key = jax.random.key(seed)

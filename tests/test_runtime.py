@@ -127,3 +127,50 @@ def test_rhat_ess_diagnostics(rng):
     bad = chains.copy()
     bad[0] += 5.0
     assert split_rhat(bad)[0] > 1.5
+
+
+def test_model_card_and_lv_formula(rng):
+    """Model card spells out substituted defaults; BayesLV accepts a
+    variance-model formula string + covariate table (runTime.jl:133,
+    design via mme.jl:426)."""
+    import nextgp_tpu as ng
+    from nextgp_tpu.api.formula import build_lv_design
+
+    n, p = 40, 32
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = rng.normal(0, 1, n)
+    table = {"x1": rng.normal(0, 1, p), "grp": rng.integers(0, 2, p)}
+    C, labels = build_lv_design("1 + x1 + grp", table)
+    assert C.shape == (p, 3) and labels[0] == "intercept"
+    np.testing.assert_array_equal(C[:, 0], np.ones(p))
+    np.testing.assert_array_equal(C[:, 1], table["x1"])  # raw, not centered
+
+    lv = ng.BayesLV(0.01, "1 + x1", 0.5, covariate_table=table)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[
+            ng.MarkerTerm("M", ng.from_array(g), lv),
+            ng.MarkerTerm("M2", ng.from_array(g), None),  # default prior
+        ],
+        block_size=8,
+    )
+    plan, state = ng.assemble(spec)
+    assert plan.markers[0].n_lv_cov == 2
+    # the formula-built design equals the prebuilt-matrix design
+    C2, _ = build_lv_design("1 + x1", table)
+    lv2 = ng.BayesLV(0.01, C2, 0.5)
+    spec2 = ng.ModelSpec(
+        y=y, fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), lv2),
+                 ng.MarkerTerm("M2", ng.from_array(g), None)],
+        block_size=8,
+    )
+    plan2, state2 = ng.assemble(spec2)
+    np.testing.assert_array_equal(
+        np.asarray(state.markers[0].lv_design), np.asarray(state2.markers[0].lv_design)
+    )
+
+    card = ng.model_card(spec, plan)
+    assert "BayesLV" in card and "default BayesPR" in card
+    assert f"n = {n}" in card and "residual: Random('I', 100.0)" in card

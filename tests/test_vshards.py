@@ -29,6 +29,10 @@ def _spec(rng, n=80, p=96, method="BayesR"):
             [0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0,
             rng.integers(0, 2, (p, 2)) | np.array([1, 0]),
         ),
+        "BayesRCplus": ng.BayesRCplus(
+            [0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0,
+            rng.integers(0, 2, (p, 2)) | np.array([1, 0]),
+        ),
     }
     spec = ng.ModelSpec(
         y=y,
@@ -48,7 +52,9 @@ def _run(spec, n_sweeps=30, **kw):
     return plan, state
 
 
-@pytest.mark.parametrize("method", ["BayesPR", "BayesB", "BayesC", "BayesR", "BayesRCpi"])
+@pytest.mark.parametrize(
+    "method", ["BayesPR", "BayesB", "BayesC", "BayesR", "BayesRCpi", "BayesRCplus"]
+)
 def test_vshards_residual_exact(rng, method):
     spec, gc, _ = _spec(rng, method=method)
     plan, state = _run(spec, vshards=3)
@@ -60,7 +66,9 @@ def test_vshards_residual_exact(rng, method):
     assert drift < 1e-8
 
 
-@pytest.mark.parametrize("method", ["BayesPR", "BayesB", "BayesC", "BayesR"])
+@pytest.mark.parametrize(
+    "method", ["BayesPR", "BayesB", "BayesC", "BayesR", "BayesRCpi", "BayesRCplus"]
+)
 def test_vshards_pallas_matches_pure_jax(rng, method):
     spec, _, _ = _spec(rng, method=method)
     _, st_jax = _run(spec, n_sweeps=10, vshards=3, use_pallas=False)
@@ -73,6 +81,35 @@ def test_vshards_pallas_matches_pure_jax(rng, method):
     np.testing.assert_allclose(
         np.asarray(st_jax.ycorr), np.asarray(st_pal.ycorr), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("method", ["BayesRCpi", "BayesRCplus"])
+def test_rc_pallas_matches_pure_jax_sequential(rng, method):
+    """Single-chain (vshards=1) RC kernels vs pure JAX from shared streams."""
+    spec, _, _ = _spec(rng, method=method)
+    _, st_jax = _run(spec, n_sweeps=10, use_pallas=False)
+    _, st_pal = _run(spec, n_sweeps=10, use_pallas=True)
+    np.testing.assert_allclose(
+        np.asarray(st_jax.markers[0].beta),
+        np.asarray(st_pal.markers[0].beta),
+        atol=1e-5,
+    )
+    assert np.array_equal(
+        np.asarray(st_jax.markers[0].delta), np.asarray(st_pal.markers[0].delta)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_jax.ycorr), np.asarray(st_pal.ycorr), atol=1e-5
+    )
+    if method == "BayesRCpi":
+        np.testing.assert_allclose(
+            np.asarray(st_jax.markers[0].annot_prob),
+            np.asarray(st_pal.markers[0].annot_prob),
+            atol=1e-5,
+        )
+        assert np.array_equal(
+            np.asarray(st_jax.markers[0].annot_cat),
+            np.asarray(st_pal.markers[0].annot_cat),
+        )
 
 
 def test_vshards_recovers_signal(rng):
