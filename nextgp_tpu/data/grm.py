@@ -12,7 +12,12 @@ import numpy as np
 
 
 def make_g(m, method: int = 1, ridge: float = 0.001) -> np.ndarray:
-    """vanRaden GRM from an (nInd, nSNP) 0/1/2 dosage matrix."""
+    """vanRaden GRM from an (nInd, nSNP) 0/1/2 dosage matrix, or from a
+    genotype file path (the reference's file overload, misc.jl:145-160)."""
+    if isinstance(m, str):
+        from .ingest import read_genotype_file
+
+        m = read_genotype_file(m).genotypes
     m = np.asarray(m, dtype=np.float64)
     p = m.mean(axis=0) / 2.0
     q = 1.0 - p

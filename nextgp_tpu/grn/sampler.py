@@ -72,19 +72,21 @@ def _lam1_matrix(lam1, G):
 
 
 def make_grn_step(plan: GRNPlan, xc, ytil, dtype=jnp.float64):
-    """One MH-within-Gibbs iteration (GRN.jl:103-143)."""
+    """One MH-within-Gibbs iteration (GRN.jl:103-143).
+
+    MpM[(g,k),(g',k')] = delta_gg' YY[k,k'] (GRN.jl:100) is block-diagonal
+    in gene g, so the proposal covariance inverts as G batched
+    (G-1) x (G-1) blocks instead of the reference's dense (G^2-G)^2 matrix
+    — identical in exact arithmetic, and O(G^4) instead of O(G^6). G=100
+    assembles and inverts in milliseconds. This vertical is a small dense
+    problem and stays single-device by design (SURVEY.md §2.5)."""
     G, S, N = plan.n_genes, plan.n_snps, plan.n_ind
     pairs = np.array(_pairs(G))
     n_l = len(pairs)
     yy = ytil @ ytil.T  # (G, G)
-    # MpM[(g,k),(g',k')] = delta_gg' YY[k,k'] (GRN.jl:100)
-    mpm = np.zeros((n_l, n_l))
-    yy_np = np.asarray(yy)
-    for i, (g, k) in enumerate(pairs):
-        for j, (g2, k2) in enumerate(pairs):
-            if g == g2:
-                mpm[i, j] = yy_np[k, k2]
-    mpm = jnp.asarray(mpm, dtype)
+    excl = np.array([[k for k in range(G) if k != g] for g in range(G)])  # (G, G-1)
+    excl_j = jnp.asarray(excl)
+    yy_sub = yy[excl_j[:, :, None], excl_j[:, None, :]].astype(dtype)  # (G, G-1, G-1)
     gram_x = xc @ xc.T  # (S, S)
     xx = jnp.diagonal(gram_x)
     pair_g = jnp.asarray(pairs[:, 0])
@@ -108,26 +110,30 @@ def make_grn_step(plan: GRNPlan, xc, ytil, dtype=jnp.float64):
         mu = mean_mu + jnp.sqrt(var_e / N) * jax.random.normal(k(1), (G,), dtype)
         ycorr = ycorr - mu[:, None]
 
-        # 3) Lambda1 Metropolis-Hastings (GRN.jl:122,192-232)
+        # 3) Lambda1 Metropolis-Hastings (GRN.jl:122,192-232) — batched over
+        # the G diagonal blocks of MpM
         lam1_mat = _lam1_matrix(state.lam1, G)
         ycorr = ycorr + lam1_mat @ ytil
         ratio = var_e / state.var_lam1
-        ilhs = jnp.linalg.inv(mpm + ratio * jnp.eye(n_l, dtype=dtype))
+        eye = jnp.eye(G - 1, dtype=dtype)
+        ilhs = jnp.linalg.inv(yy_sub + ratio * eye[None])  # (G, G-1, G-1)
         yyc = ytil @ ycorr.T  # (G_k, G_g)
-        rhs = yyc[pair_k, pair_g] + plan.mean_lam1 * ratio
-        lam_mean = ilhs @ rhs
+        rhs = (yyc[pair_k, pair_g] + plan.mean_lam1 * ratio).reshape(G, G - 1)
+        lam_mean = jnp.einsum("gij,gj->gi", ilhs, rhs)  # (G, G-1)
         cov = ilhs * var_e
-        cov = (cov + cov.T) / 2.0
+        cov = (cov + jnp.swapaxes(cov, 1, 2)) / 2.0
         chol = jnp.linalg.cholesky(cov)
-        prop = lam_mean + chol @ jax.random.normal(k(2), (n_l,), dtype)
+        z1 = jax.random.normal(k(2), (n_l,), dtype).reshape(G, G - 1)
+        prop = (lam_mean + jnp.einsum("gij,gj->gi", chol, z1)).reshape(-1)
         icov = jnp.linalg.inv(cov)
+        lam_mean_flat = lam_mean.reshape(-1)
 
         def log_target(lam_vec):
             lam_m = _lam1_matrix(lam_vec, G)
             star = jnp.eye(G, dtype=dtype) - lam_m
             sign, logdet = jnp.linalg.slogdet(star)
-            d = lam_vec - lam_mean
-            return (N / 2.0) * logdet - 0.5 * (d @ icov @ d)
+            d = (lam_vec - lam_mean_flat).reshape(G, G - 1)
+            return (N / 2.0) * logdet - 0.5 * jnp.einsum("gi,gij,gj->", d, icov, d)
 
         log_a = log_target(prop) - log_target(state.lam1)
         acc = jnp.log(jax.random.uniform(k(3), (), dtype)) < log_a

@@ -9,6 +9,7 @@ an accelerator, never a hard dependency.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sysconfig
@@ -16,23 +17,31 @@ import threading
 from typing import Optional
 
 _SRC = os.path.join(os.path.dirname(__file__), "src", "nextgp_native.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "libnextgp_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
-ABI_VERSION = 1
+ABI_VERSION = 2
 
 
-def _compile() -> bool:
+def _so_path() -> str:
+    """Cache path keyed by the source hash: a library is loaded only if it
+    was compiled from exactly the committed source (git does not preserve
+    mtimes, so mtime comparisons would trust stale or foreign binaries)."""
+    with open(_SRC, "rb") as fh:
+        h = hashlib.sha256(fh.read()).hexdigest()[:16]
+    return os.path.join(os.path.dirname(__file__), f"libnextgp_native-{h}.so")
+
+
+def _compile(so: str) -> bool:
     cxx = os.environ.get("CXX", "g++")
     cmd = [
         cxx, "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        "-o", _SO, _SRC,
+        "-o", so, _SRC,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=240)
-        return r.returncode == 0 and os.path.exists(_SO)
+        return r.returncode == 0 and os.path.exists(so)
     except Exception:
         return False
 
@@ -72,18 +81,15 @@ def lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        fresh = (
-            os.path.exists(_SO)
-            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
-        )
-        if not fresh and not _compile():
+        so = _so_path()
+        if not os.path.exists(so) and not _compile(so):
             return None
         try:
-            dll = _bind(ctypes.CDLL(_SO))
+            dll = _bind(ctypes.CDLL(so))
             if dll.ng_version() != ABI_VERSION:
-                if not _compile():
+                if not _compile(so):
                     return None
-                dll = _bind(ctypes.CDLL(_SO))
+                dll = _bind(ctypes.CDLL(so))
             _lib = dll
         except OSError:
             _lib = None

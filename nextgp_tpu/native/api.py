@@ -50,6 +50,12 @@ def parse_genotypes(path: str):
     )
     if rc == 2:
         raise ValueError(f"ragged rows in genotype file {path!r}")
+    if rc == 3:
+        raise ValueError(
+            f"non-integral or invalid dosage token in {path!r}; genotypes "
+            "must be integer dosages (0/1/2) — use from_float_array for "
+            "real-valued data"
+        )
     if rc != 0:
         raise OSError(f"cannot parse {path!r} (rc={rc})")
     return out, col_sum, col_n

@@ -34,7 +34,7 @@
 
 extern "C" {
 
-int32_t ng_version() { return 1; }
+int32_t ng_version() { return 2; }
 
 namespace {
 
@@ -85,40 +85,39 @@ int n_threads_for(int64_t work_items) {
   return static_cast<int>(t);
 }
 
-// Parse one token starting at s (s < end). Returns dosage (or -1 missing)
-// and advances *pos past the token. Tokens are integers 0/1/2, floats with
-// integral value, or the missing markers NA / . / NaN.
+// Parse one token starting at s (s < end). Returns the dosage, -1 for the
+// missing markers NA/na/./NaN/nan, or -2 for any other token (fractional
+// dosages like "1.5", garbage) so the caller can fail loudly instead of
+// silently treating it as missing — matching the pure-Python path, which
+// raises and points real-valued data at from_float_array.
 inline int8_t parse_token(const char* s, const char* end, const char** pos) {
   const char* q = s;
   while (q < end && !is_delim(*q, ' ') && *q != '\n' && *q != '\r') ++q;
   *pos = q;
   size_t len = static_cast<size_t>(q - s);
   if (len == 0) return -1;
-  if ((len == 2 && s[0] == 'N' && s[1] == 'A') || (len == 1 && s[0] == '.') ||
-      (len == 3 && (s[0] == 'N' || s[0] == 'n')))
+  auto low = [](char c) { return static_cast<char>(c | 0x20); };
+  if ((len == 2 && low(s[0]) == 'n' && low(s[1]) == 'a') ||
+      (len == 1 && s[0] == '.') ||
+      (len == 3 && low(s[0]) == 'n' && low(s[1]) == 'a' && low(s[2]) == 'n'))
     return -1;
   // fast integer path
   bool neg = (*s == '-');
   const char* r = s + (neg ? 1 : 0);
+  if (r >= q) return -2;
   long v = 0;
-  bool intlike = true;
   for (const char* c = r; c < q; ++c) {
     if (*c >= '0' && *c <= '9') {
       v = v * 10 + (*c - '0');
     } else if (*c == '.') {
-      // accept trailing ".0" / ".00" only
+      // accept trailing ".0" / ".00" only; other fractions are invalid
       for (const char* z = c + 1; z < q; ++z)
-        if (*z != '0') {
-          intlike = false;
-          break;
-        }
+        if (*z != '0') return -2;
       break;
     } else {
-      intlike = false;
-      break;
+      return -2;
     }
   }
-  if (!intlike) return -1;
   return static_cast<int8_t>(neg ? -v : v);
 }
 
@@ -248,6 +247,10 @@ int32_t ng_geno_parse(const char* path, int64_t n, int64_t p, int8_t* out,
           }
           const char* nxt;
           int8_t v = parse_token(c, end, &nxt);
+          if (v == -2) {
+            err.store(3);  // invalid/non-integral token
+            return;
+          }
           row[j] = v;
           if (v >= 0) {
             sm[j] += v;
@@ -259,6 +262,14 @@ int32_t ng_geno_parse(const char* path, int64_t n, int64_t p, int8_t* out,
         if (j != p) {
           err.store(2);
           return;
+        }
+        // extra tokens beyond p are ragged rows, not silent truncation
+        while (c < end && *c != '\n') {
+          if (!is_delim(*c, ' ') && *c != '\r') {
+            err.store(2);
+            return;
+          }
+          ++c;
         }
       }
     });

@@ -1,0 +1,51 @@
+"""Generate the committed reference-equivalence fixture (deterministic).
+
+A small BayesPR(9999) whole-genome problem both implementations can read:
+  fixture/genotypes.txt  space-delimited headerless 0/1/2 dosages
+                         (the reference's genotype format, prepMatVec.jl:116)
+  fixture/pheno.csv      ID,y
+  fixture/truth.csv      per-locus simulated effects (for reporting only)
+
+Run once; outputs are committed so the harness is reproducible without
+re-simulation. Scale: 300 x 1200 — big enough for a stable EBV ranking,
+small enough to commit and for the single-threaded reference to chew
+through quickly.
+"""
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(__file__)
+N, P, NQTL, SEED = 300, 1200, 60, 20240509
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    g = rng.integers(0, 3, (N, P))
+    beta = np.zeros(P)
+    qtl = rng.choice(P, NQTL, replace=False)
+    beta[qtl] = rng.normal(0.0, 0.35, NQTL)
+    gc = g - g.mean(axis=0)
+    signal = gc @ beta
+    h2 = 0.5
+    ve = signal.var() * (1 - h2) / h2
+    y = 10.0 + signal + rng.normal(0.0, np.sqrt(ve), N)
+
+    fx = os.path.join(HERE, "fixture")
+    os.makedirs(fx, exist_ok=True)
+    with open(os.path.join(fx, "genotypes.txt"), "w") as fh:
+        for row in g:
+            fh.write(" ".join(map(str, row)) + "\n")
+    with open(os.path.join(fx, "pheno.csv"), "w") as fh:
+        fh.write("ID,y\n")
+        for i, v in enumerate(y):
+            fh.write(f"ind{i + 1},{v:.17g}\n")
+    with open(os.path.join(fx, "truth.csv"), "w") as fh:
+        fh.write("beta\n")
+        for v in beta:
+            fh.write(f"{v:.17g}\n")
+    print(f"fixture written: {N} x {P}, h2={h2}, varE={ve:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,3 +133,44 @@ def test_write_tsv_block(tmp_path):
     nat.write_tsv_block(str(path), np.array([9.0, 8.0, 7.0]))
     back = np.loadtxt(path)
     np.testing.assert_allclose(back, np.vstack([a, [9.0, 8.0, 7.0]]), rtol=1e-15)
+
+
+def test_parse_rejects_fractional_and_extra_tokens(tmp_path):
+    """Native and Python ingestion agree on error semantics: fractional
+    dosages raise (not silently missing), rows with extra tokens are ragged
+    (ADVICE r1)."""
+    import pytest
+
+    import nextgp_tpu.native as native
+    from nextgp_tpu.native import api as nat
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    frac = tmp_path / "frac.txt"
+    frac.write_text("0 1 2\n0 1.5 2\n")
+    with pytest.raises(ValueError, match="non-integral|invalid"):
+        nat.parse_genotypes(str(frac))
+
+    extra = tmp_path / "extra.txt"
+    extra.write_text("0 1 2\n0 1 2 1\n")
+    import numpy as np
+    n, p = nat.geno_dims(str(extra))
+    if (n, p) == (2, 3):
+        with pytest.raises(ValueError, match="ragged"):
+            nat.parse_genotypes(str(extra))
+
+    ok = tmp_path / "ok.txt"
+    ok.write_text("0 1 2.0 NA\n2 nan 1 .\n")
+    g, s, c = nat.parse_genotypes(str(ok))
+    np.testing.assert_array_equal(g, [[0, 1, 2, -1], [2, -1, 1, -1]])
+
+
+def test_make_g_file_overload(tmp_path, rng):
+    from nextgp_tpu.data.grm import make_g
+
+    g = rng.integers(0, 3, (12, 20))
+    path = tmp_path / "geno.txt"
+    path.write_text("\n".join(" ".join(map(str, r)) for r in g) + "\n")
+    import numpy as np
+    np.testing.assert_allclose(make_g(str(path)), make_g(g), atol=1e-12)
