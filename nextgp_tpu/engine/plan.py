@@ -90,6 +90,10 @@ class MarkerPlan:
     # analog of the multi-device schedule; chains match a V-device run).
     # 1 = reference-sequential scan order.
     vshards: int = 1
+    # 2-bit planar-packed genotype storage (ops/pack2.py): mt is uint8
+    # (..., B, q) with q = packed_q(n); cuts the per-sweep HBM traffic 4x.
+    # Lossless for 0..3 dosages, so the unpacked chain is reproduced exactly.
+    packed: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -295,8 +299,21 @@ def _method_of(prior):
     }[type(prior)]
 
 
+def _pack_eligible(g) -> bool:
+    """2-bit packing is lossless iff dosages are integers in 0..3."""
+    if isinstance(g, jax.Array):
+        if g.dtype != jnp.int8:
+            return False
+        lo, hi = jax.jit(lambda a: (jnp.min(a), jnp.max(a)))(g)
+        return bool(lo >= 0) and bool(hi <= 3)
+    g = np.asarray(g)
+    return g.dtype == np.int8 and g.min() >= 0 and g.max() <= 3
+
+
 def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=False,
-                  vshards=1):
+                  vshards=1, pack=None):
+    from ..ops import pack2
+
     md = term.data
     prior = term.prior
     method = _method_of(prior)
@@ -304,6 +321,17 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     block = min(block, max(8, 1 << (p - 1).bit_length()))  # don't over-pad tiny sets
     p_pad = cdiv(p, block) * block
     nb = p_pad // block
+
+    # packed storage: auto-on for the TPU kernel path when lossless
+    do_pack = bool(pack) if pack is not None else bool(use_pallas)
+    if do_pack and not _pack_eligible(md.genotypes):
+        if pack:  # explicit request on non-0..3 dosages is an error
+            raise ValueError(
+                f"marker set {term.name}: pack2 storage needs int8 dosages "
+                "in 0..3 (fractional/negative values cannot be packed)"
+            )
+        do_pack = False
+    q_pk = pack2.packed_q(n) if do_pack else None
 
     # resolve virtual shards now: the storage layout depends on it. Block
     # chain v owns the contiguous blocks [v*T, (v+1)*T); storage interleaves
@@ -326,12 +354,19 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
         # steps OOMs at 50k x 75k: three 3.7 GB transients).
         @jax.jit
         def _build_storage(gg):
-            gT = gg.T
+            if do_pack:  # planar 2-bit pack fused into the same single copy
+                gp = jnp.zeros((4 * q_pk, p), jnp.uint8).at[:n].set(gg.astype(jnp.uint8))
+                g4 = gp.reshape(4, q_pk, p)
+                gT = (g4[0] | (g4[1] << 2) | (g4[2] << 4) | (g4[3] << 6)).T
+                ncol = q_pk
+            else:
+                gT = gg.T
+                ncol = n
             if pad:
-                gT = jnp.concatenate([gT, jnp.zeros((pad, n), gT.dtype)])
-            mt_ = gT.reshape(nb, block, n)
+                gT = jnp.concatenate([gT, jnp.zeros((pad, ncol), gT.dtype)])
+            mt_ = gT.reshape(nb, block, ncol)
             if vsh > 1:
-                mt_ = mt_.reshape(vsh, T_, block, n).transpose(1, 0, 2, 3)
+                mt_ = mt_.reshape(vsh, T_, block, ncol).transpose(1, 0, 2, 3)
             return mt_
 
         mt_store = _build_storage(g)
@@ -340,10 +375,11 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
             center_full = jnp.concatenate([center_full, jnp.zeros((pad,), dtype)])
     else:
         center = md.center.astype(np.float64)
-        mt_host = _blockify(np.ascontiguousarray(g.T), p_pad, nb, block)
+        g_rows = pack2.pack2_np(np.asarray(g)) if do_pack else np.ascontiguousarray(g.T)
+        mt_host = _blockify(g_rows, p_pad, nb, block)
         if vsh > 1:
             mt_host = np.ascontiguousarray(
-                mt_host.reshape(vsh, T_, block, n).transpose(1, 0, 2, 3)
+                mt_host.reshape(vsh, T_, block, -1).transpose(1, 0, 2, 3)
             )
         mt_store = jnp.asarray(mt_host)
         center_full = jnp.asarray(
@@ -365,11 +401,17 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     def _grams(mt_s, cb_s):
         def one(args):
             mtb, cbb = args
-            mcb = mtb.astype(dtype) - cbb[:, None]
+            if do_pack:  # unpack transient stays (B, n); pads sliced off
+                from ..ops import pack2 as _p2
+
+                mtf = _p2.unpack2(mtb, dtype)[:, :n]
+            else:
+                mtf = mtb.astype(dtype)
+            mcb = mtf - cbb[:, None]
             gw = (mcb * di_dev) @ mcb.T if di_dev is not None else mcb @ mcb.T
             gr = mcb @ mcb.T if di_dev is not None else gw
             return gw, gr
-        return lax.map(one, (mt_s.reshape(nb, block, n), cb_s.reshape(nb, block)))
+        return lax.map(one, (mt_s.reshape(nb, block, -1), cb_s.reshape(nb, block)))
 
     gram_flat, gram_raw_flat = _grams(mt_store, center_store)  # layout order
     if vsh > 1:
@@ -547,6 +589,7 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
         n_lv_cov=n_lv_cov,
         use_pallas=use_pallas,
         vshards=vsh,
+        packed=do_pack,
     )
     return ms, mp
 
@@ -631,6 +674,7 @@ def assemble(
     block_size: Optional[int] = None,
     use_pallas: Optional[bool] = None,
     vshards: int = 1,
+    pack2: Optional[bool] = None,
 ):
     """Build (SweepPlan, ModelState) from a validated ModelSpec.
 
@@ -643,6 +687,11 @@ def assemble(
     cuts the sequential chain length per sweep by V). The per-draw chain
     then differs from the V=1 reference-sequential order, so golden tests
     keep V=1; posterior moments are unaffected.
+
+    pack2: None -> auto (2-bit planar genotype storage whenever the TPU
+    kernel path is on and dosages are 0..3); True forces it (errors on
+    non-packable dosages), False keeps int8 storage. Packing is lossless,
+    so the sampled chain is unchanged; it cuts marker-pass HBM traffic 4x.
     """
     spec.validate()
     dtype = jnp.dtype(dtype or default_real_dtype())
@@ -691,7 +740,7 @@ def assemble(
     for t in spec.markers:
         st, pl = _build_marker(
             t, d_inv, spec.summary_stats.get(t.name), bs, dtype, rng,
-            use_pallas=use_pallas, vshards=vshards,
+            use_pallas=use_pallas, vshards=vshards, pack=pack2,
         )
         marker_states.append(st)
         marker_plans.append(pl)

@@ -129,6 +129,13 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
     a V-device run, not the V=1 sequential order. scan_impl then receives
     (V, B, ...) arguments and must return (V, B)-shaped results; outputs are
     re-ordered back to the global flat locus order before returning.
+
+    Packed storage (mt uint8, ops/pack2.py): the residual is carried padded
+    to n4 = 4*q for the planar kernels; padded entries are genotype-0 and
+    kept pinned at zero, so sums and gathers over the padded vector equal
+    the unpadded ones. On TPU/f32 the gather/scatter go through the Pallas
+    packed kernels; elsewhere an exact jnp unpack reproduces the unpacked
+    chain bit-for-bit.
     """
     use_raw = need_raw and d_inv is not None
 
@@ -146,28 +153,76 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
     # stays global — the storage shape is the single source of truth.
     V = ms.mt.shape[1] if ms.mt.ndim == 4 else 1
 
+    packed = ms.mt.dtype == jnp.uint8
+    n_real = ycorr.shape[0]
+    padn = 0
+    if packed:
+        from ...ops import pack2
+
+        n4 = 4 * ms.mt.shape[-1]
+        kern = dtype == jnp.float32 and not _interpret_pallas()
+        if kern:
+            # kernel path: carry the residual padded to n4 (pads are
+            # genotype-0 and pinned at zero, so sums/gathers are unchanged)
+            padn = n4 - n_real
+            if padn:
+                ycorr = jnp.concatenate([ycorr, jnp.zeros((padn,), dtype)])
+                if d_inv is not None:
+                    d_inv = jnp.concatenate([d_inv, jnp.zeros((padn,), dtype)])
+                pad_mask = jnp.arange(n4) < n_real
+
+            def gather(mtb2, yv):  # (R, q) uint8 @ padded (n4,) -> (R,)
+                return pack2.matvec(mtb2, pack2.y_planar(yv)).astype(dtype)
+
+            def scatter(mtb2, u):  # u (R,) -> (n4,)
+                return pack2.rank_update(
+                    mtb2, u.astype(jnp.float32))[:4].reshape(-1).astype(dtype)
+        else:
+            # fallback: unpack sliced to n so the matmul is the exact
+            # unpacked computation (same shapes => same reduction order,
+            # bit-identical to int8 storage — what the golden tests pin)
+            def gather(mtb2, yv):
+                return pack2.unpack2(mtb2, dtype)[:, :n_real] @ yv
+
+            def scatter(mtb2, u):
+                return u @ pack2.unpack2(mtb2, dtype)[:, :n_real]
+    else:
+        def gather(mtb2, yv):
+            return mtb2 @ yv
+
+        def scatter(mtb2, u):
+            return u @ mtb2
+
+    def finish(yc):
+        return yc[:n_real] if padn else yc
+
+    def clip_corr(c):  # keep padded residual entries pinned at zero
+        if padn:
+            return jnp.where(pad_mask, c, 0.0)
+        return c
+
     if ms.mt.ndim == 3:
         leaves = (ms.mt, ms.center, ms.gram, graw,
                   ms.beta.reshape(ms.mpm.shape), locus_xs)
 
         def block_body(ycorr, xs):
             mtb, cb, gramb, grawb, beta_old_b, lxs = xs
-            mtf = mtb.astype(dtype)
+            mtf = mtb if packed else mtb.astype(dtype)
             if d_inv is not None:
                 yw = d_inv * ycorr
-                r0 = mtf @ yw - cb * jnp.sum(yw)
-                r0_raw = (mtf @ ycorr - cb * jnp.sum(ycorr)) if use_raw else None
+                r0 = gather(mtf, yw) - cb * jnp.sum(yw)
+                r0_raw = (gather(mtf, ycorr) - cb * jnp.sum(ycorr)) if use_raw else None
             else:
-                r0 = mtf @ ycorr - cb * jnp.sum(ycorr)
+                r0 = gather(mtf, ycorr) - cb * jnp.sum(ycorr)
                 r0_raw = None
             u, beta_new_b, outs = scan_impl(
                 gramb, grawb if use_raw else None, r0, r0_raw, beta_old_b, lxs)
-            correction = u @ mtf - jnp.dot(u, cb)
+            correction = clip_corr(scatter(mtf, u) - jnp.dot(u, cb))
             ycorr = ycorr + ctx.psum(correction)
             return ycorr, (beta_new_b, outs)
 
         ycorr, (beta_new, outs) = lax.scan(block_body, ycorr, leaves)
-        return ycorr, beta_new.reshape(-1), outs
+        return finish(ycorr), beta_new.reshape(-1), outs
 
     # ---- virtual-shard path. Storage layouts (engine/plan.py): mt
     # (T, V, B, n), center (T, V, B), gram/gram_raw locus-major (T, B, V, B).
@@ -175,7 +230,7 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
     # consumed as pure scan slices.
     T = nb // V
     B = ms.mpm.shape[1]
-    n = ms.mt.shape[-1]
+    ncol = ms.mt.shape[-1]
 
     def group(a):  # (nb, B, ...) -> (T, V, B, ...), block g = v*T + t
         return jnp.swapaxes(a.reshape((V, T) + a.shape[1:]), 0, 1)
@@ -195,18 +250,18 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
 
     def block_body(ycorr, xs):
         mtb, cb, gram_t, graw_t, beta_old_b, lxs = xs
-        mtf = mtb.astype(dtype).reshape(V * B, n)
+        mtf = mtb.reshape(V * B, ncol) if packed else mtb.astype(dtype).reshape(V * B, ncol)
         if d_inv is not None:
             yw = d_inv * ycorr
-            r0 = (mtf @ yw).reshape(V, B) - cb * jnp.sum(yw)
-            r0_raw = ((mtf @ ycorr).reshape(V, B) - cb * jnp.sum(ycorr)) if use_raw else None
+            r0 = gather(mtf, yw).reshape(V, B) - cb * jnp.sum(yw)
+            r0_raw = (gather(mtf, ycorr).reshape(V, B) - cb * jnp.sum(ycorr)) if use_raw else None
         else:
-            r0 = (mtf @ ycorr).reshape(V, B) - cb * jnp.sum(ycorr)
+            r0 = gather(mtf, ycorr).reshape(V, B) - cb * jnp.sum(ycorr)
             r0_raw = None
         impl = scan_impl_v if scan_impl_v is not None else vscan
         u, beta_new_b, outs = impl(
             gram_t, graw_t if use_raw else None, r0, r0_raw, beta_old_b, lxs)
-        correction = u.reshape(-1) @ mtf - jnp.vdot(u, cb)
+        correction = clip_corr(scatter(mtf, u.reshape(-1)) - jnp.vdot(u, cb))
         ycorr = ycorr + ctx.psum(correction)
         return ycorr, (beta_new_b, outs)
 
@@ -217,7 +272,7 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
     outs = jax.tree.map(
         lambda a: jnp.swapaxes(a, 0, 1).reshape((nb * B,) + a.shape[3:]), outs
     )
-    return ycorr, beta, outs
+    return finish(ycorr), beta, outs
 
 
 # ------------------------------------------------------------------ BayesPR

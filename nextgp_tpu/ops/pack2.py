@@ -1,0 +1,180 @@
+"""2-bit planar genotype packing + Pallas TPU kernels for the packed passes.
+
+Dosages are {0,1,2}: int8 storage wastes 4x the HBM bandwidth the sweep is
+bound by (the gather `Mc @ ycorr` and scatter `ycorr += u @ Mc` passes are
+the entire per-sweep traffic at production shapes — see README roofline).
+Packing four dosages per byte cuts the genotype bytes 4x; the unpack is a
+handful of VPU bit ops per value, paid while the next tile streams in.
+
+Planar layout (the key trick): with q packed lanes, byte j of a locus row
+holds individuals j, j+q, j+2q, j+3q in its four 2-bit fields:
+
+    packed[:, j] = g[j] | g[j+q] << 2 | g[j+2q] << 4 | g[j+3q] << 6
+
+so unpacking is  concat([pk & 3, (pk>>2) & 3, (pk>>4) & 3, (pk>>6) & 3])
+along the lane axis — four lane-contiguous slices in original individual
+order, no interleave/relayout anywhere (a bit-interleaved layout would need
+a cross-lane shuffle per tile, which Mosaic lowers poorly). The residual
+vector is viewed as (4, q) by the same reshape, which is layout-free.
+
+The individual axis is padded to n4 = 4*q with q a multiple of 128 (lane
+alignment); padded genotypes are 0 so they never contribute to the gather,
+and the sweep keeps padded residual entries pinned at zero.
+
+Reference equivalence: packing is lossless for 0..3 dosages, so the
+pure-JAX unpack path (`unpack2`, used on CPU/f64 golden tests) is
+bit-identical to unpacked int8 storage. The reference stores dense f64
+(prepMatVec.jl:129) — 32x the bytes per pass.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+_LANES = 128
+
+
+def packed_q(n: int) -> int:
+    """Packed lane count for n individuals: ceil(n/4) rounded to 128 lanes."""
+    q = -(-n // 4)
+    return -(-q // _LANES) * _LANES
+
+
+def pack2_np(g: np.ndarray) -> np.ndarray:
+    """(n, p) int {0..3} -> (p, q) uint8 planar-packed, q = packed_q(n)."""
+    n, p = g.shape
+    q = packed_q(n)
+    gp = np.zeros((4 * q, p), np.uint8)
+    gp[:n] = g
+    g4 = gp.reshape(4, q, p)
+    pk = g4[0] | (g4[1] << 2) | (g4[2] << 4) | (g4[3] << 6)
+    return np.ascontiguousarray(pk.T)
+
+
+def pack2_jnp(g):
+    """Device-side pack: (n, p) int8 -> (p, q) uint8 (one fused jit)."""
+    n, p = g.shape
+    q = packed_q(n)
+
+    @jax.jit
+    def _pack(gg):
+        gp = jnp.zeros((4 * q, p), jnp.uint8).at[:n].set(gg.astype(jnp.uint8))
+        g4 = gp.reshape(4, q, p)
+        pk = g4[0] | (g4[1] << 2) | (g4[2] << 4) | (g4[3] << 6)
+        return pk.T
+
+    return _pack(g)
+
+
+def unpack2(pk, dtype=F32):
+    """Exact inverse of the planar pack: (..., R, q) uint8 -> (..., R, 4q).
+
+    Pure jnp — the CPU/golden-test path, and the assembly-time Gram unpack.
+    """
+    pki = pk.astype(jnp.int32)
+    parts = [(pki >> (2 * k)) & 3 for k in range(4)]
+    return jnp.concatenate(parts, axis=-1).astype(dtype)
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def _matvec_kernel(pk_ref, y4_ref, out_ref):
+    qi = pl.program_id(1)
+    pk = pk_ref[:].astype(jnp.int32)
+    acc = (pk & 3).astype(F32) * y4_ref[0:1, :]
+    acc += ((pk >> 2) & 3).astype(F32) * y4_ref[1:2, :]
+    acc += ((pk >> 4) & 3).astype(F32) * y4_ref[2:3, :]
+    acc += ((pk >> 6) & 3).astype(F32) * y4_ref[3:4, :]
+    partial = jnp.sum(acc, axis=1, keepdims=True)
+
+    @pl.when(qi == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(qi != 0)
+    def _():
+        out_ref[:] += partial
+
+
+def _tile_sizes(R, q):
+    rt = R if R <= 512 else 512
+    while R % rt:
+        rt //= 2
+    qt = 2048
+    while q % qt:
+        qt //= 2
+    return rt, qt
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matvec(pk, y4, interpret=False):
+    """r0 = unpack(pk) @ y4planar. pk (R, q) uint8, y4 (8, q) f32 with rows
+    0..3 = residual.reshape(4, q) (rows 4..7 ignored). Returns (R,) f32."""
+    R, q = pk.shape
+    rt, qt = _tile_sizes(R, q)
+    out = pl.pallas_call(
+        _matvec_kernel,
+        grid=(R // rt, q // qt),
+        in_specs=[
+            pl.BlockSpec((rt, qt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, qt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 1), F32),
+        interpret=interpret,
+    )(pk, y4)
+    return out[:, 0]
+
+
+def _rank_kernel(pk_ref, u_ref, out_ref):
+    ri = pl.program_id(1)
+    pk = pk_ref[:].astype(jnp.int32)
+    u = u_ref[0:1, :]  # (1, rt)
+    rows = [
+        jax.lax.dot_general(
+            u, ((pk >> (2 * k)) & 3).astype(F32),
+            (((1,), (0,)), ((), ())), preferred_element_type=F32)
+        for k in range(4)
+    ]
+    partial = jnp.concatenate(rows + [jnp.zeros_like(rows[0])] * 4, axis=0)
+
+    @pl.when(ri == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(ri != 0)
+    def _():
+        out_ref[:] += partial
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rank_update(pk, u, interpret=False):
+    """dy = u @ unpack(pk), returned planar as (8, q) f32 (rows 0..3 live,
+    i.e. dy_full = out[:4].reshape(4q,))."""
+    R, q = pk.shape
+    rt, qt = _tile_sizes(R, q)
+    out = pl.pallas_call(
+        _rank_kernel,
+        grid=(q // qt, R // rt),
+        in_specs=[
+            pl.BlockSpec((rt, qt), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, qt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, q), F32),
+        interpret=interpret,
+    )(pk, u.reshape(1, R))
+    return out
+
+
+def y_planar(yp):
+    """(4q,) f32 residual (already padded) -> (8, q) kernel view."""
+    q = yp.shape[0] // 4
+    return jnp.concatenate([yp.reshape(4, q), jnp.zeros((4, q), yp.dtype)], axis=0)

@@ -1,0 +1,150 @@
+"""2-bit planar-packed genotype storage (ops/pack2.py, assemble(pack2=True)).
+
+Packing is lossless for 0..3 dosages, so on the CPU/f64 fallback path the
+packed sweep must reproduce the unpacked chain BIT-FOR-BIT — every method,
+weighted residuals, vshards, and the device-sharded schedule included.
+The TPU kernels themselves are exercised in interpret mode against the
+jnp unpack, and on-chip by the bench smoke.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nextgp_tpu as ng
+from nextgp_tpu.ops import pack2
+
+
+def test_pack_roundtrip(rng):
+    for n in (8, 100, 512, 1000):
+        g = rng.integers(0, 3, (n, 24), dtype=np.int8)
+        pk = pack2.pack2_np(g)
+        q = pack2.packed_q(n)
+        assert pk.shape == (24, q) and pk.dtype == np.uint8
+        up = np.asarray(pack2.unpack2(jnp.asarray(pk), jnp.float64))
+        assert np.array_equal(up[:, :n], g.T)
+        assert (up[:, n:] == 0).all()
+        pk_dev = np.asarray(pack2.pack2_jnp(jnp.asarray(g)))
+        assert np.array_equal(pk_dev, pk)
+
+
+def test_kernels_interpret_match_unpack(rng):
+    n, R = 600, 64
+    q = pack2.packed_q(n)
+    g = rng.integers(0, 3, (n, R), dtype=np.int8)
+    pk = jnp.asarray(pack2.pack2_np(g))
+    y = jnp.asarray(rng.normal(0, 1, 4 * q).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 1, R).astype(np.float32))
+    r_k = np.asarray(pack2.matvec(pk, pack2.y_planar(y), interpret=True))
+    r_f = np.asarray(pack2.unpack2(pk, jnp.float32) @ y)
+    np.testing.assert_allclose(r_k, r_f, rtol=2e-5)
+    d_k = np.asarray(pack2.rank_update(pk, u, interpret=True))[:4].reshape(-1)
+    d_f = np.asarray(u @ pack2.unpack2(pk, jnp.float32))
+    np.testing.assert_allclose(d_k, d_f, rtol=2e-5, atol=1e-4)
+
+
+def _spec(rng, method, n=80, p=96, weighted=False):
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    gc = g - g.mean(0)
+    bt = np.zeros(p)
+    bt[rng.choice(p, 10, replace=False)] = rng.normal(0, 0.4, 10)
+    y = 1.0 + gc @ bt + rng.normal(0, 1, n)
+    annot = rng.integers(0, 2, (p, 2)) | np.array([1, 0])
+    priors = {
+        "BayesPR": ng.BayesPR(9999, 0.05),
+        "BayesB": ng.BayesB(0.1, 0.05, estimatePi=True),
+        "BayesC": ng.BayesC(0.1, 0.05, estimatePi=True),
+        "BayesR": ng.BayesR([0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0, estimatePi=True),
+        "BayesRCpi": ng.BayesRCpi([0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0, annot),
+        "BayesRCplus": ng.BayesRCplus([0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0, annot),
+        "BayesLV": ng.BayesLV(0.05, rng.normal(0, 1, (p, 2)), 0.1),
+    }
+    kw = {}
+    if weighted:
+        kw["residual"] = ng.Random(rng.uniform(0.5, 2.0, n), 1.0)
+    return ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), priors[method])],
+        block_size=16,
+        **kw,
+    )
+
+
+def _run(spec, n_sweeps=10, **kw):
+    plan, state = ng.assemble(spec, **kw)
+    sweep = jax.jit(ng.make_sweep(plan))
+    key = jax.random.key(9)
+    for _ in range(n_sweeps):
+        state = sweep(state, key)
+    return plan, state
+
+
+@pytest.mark.parametrize(
+    "method",
+    ["BayesPR", "BayesB", "BayesC", "BayesR", "BayesRCpi", "BayesRCplus", "BayesLV"],
+)
+def test_packed_sweep_bit_identical(rng, method):
+    spec = _spec(rng, method)
+    plan_u, st_u = _run(spec, pack2=False)
+    plan_p, st_p = _run(spec, pack2=True)
+    assert not plan_u.markers[0].packed and plan_p.markers[0].packed
+    assert st_p.markers[0].mt.dtype == jnp.uint8
+    assert np.array_equal(np.asarray(st_u.markers[0].beta), np.asarray(st_p.markers[0].beta))
+    assert np.array_equal(np.asarray(st_u.ycorr), np.asarray(st_p.ycorr))
+    assert np.array_equal(np.asarray(st_u.markers[0].delta), np.asarray(st_p.markers[0].delta))
+    assert np.array_equal(
+        np.asarray(st_u.markers[0].var_beta), np.asarray(st_p.markers[0].var_beta)
+    )
+
+
+@pytest.mark.parametrize("method", ["BayesB", "BayesC"])
+def test_packed_weighted_bit_identical(rng, method):
+    spec = _spec(rng, method, weighted=True)
+    _, st_u = _run(spec, pack2=False)
+    _, st_p = _run(spec, pack2=True)
+    assert np.array_equal(np.asarray(st_u.markers[0].beta), np.asarray(st_p.markers[0].beta))
+    assert np.array_equal(np.asarray(st_u.ycorr), np.asarray(st_p.ycorr))
+
+
+def test_packed_vshards_bit_identical(rng):
+    spec = _spec(rng, "BayesR")
+    _, st_u = _run(spec, vshards=3, pack2=False)
+    _, st_p = _run(spec, vshards=3, pack2=True)
+    assert st_p.markers[0].mt.ndim == 4 and st_p.markers[0].mt.dtype == jnp.uint8
+    assert np.array_equal(np.asarray(st_u.markers[0].beta), np.asarray(st_p.markers[0].beta))
+    assert np.array_equal(np.asarray(st_u.ycorr), np.asarray(st_p.ycorr))
+
+
+def test_packed_sharded_bit_identical(rng):
+    from nextgp_tpu.parallel.sharded import distribute, make_mesh, make_sharded_sweep
+
+    spec = _spec(rng, "BayesR")
+    outs = []
+    for pk in (False, True):
+        plan, state = ng.assemble(spec, pack2=pk)
+        mesh = make_mesh(n_chains=1, n_shards=2, devices=jax.devices()[:2])
+        batched = distribute(plan, state, mesh, n_chains=1)
+        step = make_sharded_sweep(plan, mesh, n_sweeps=5)(batched)
+        out = step(batched, jax.random.split(jax.random.key(3), 1))
+        outs.append(
+            (np.asarray(out.markers[0].beta[0]), np.asarray(out.ycorr[0]))
+        )
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert np.array_equal(outs[0][1], outs[1][1])
+
+
+def test_pack_eligibility(rng):
+    n, p = 40, 32
+    gf = rng.normal(1.0, 0.5, (n, p))  # fractional dosages
+    y = rng.normal(0, 1, n)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_float_array(gf), ng.BayesPR(9999, 0.05))],
+        block_size=16,
+    )
+    plan, _ = ng.assemble(spec)  # auto: silently unpacked
+    assert not plan.markers[0].packed
+    with pytest.raises(ValueError, match="pack2"):
+        ng.assemble(spec, pack2=True)
