@@ -201,8 +201,10 @@ def _pallas_smoke(jax, n=512, p=768, block=128, n_sweeps=3):
             block_size=block,
         )
         outs = []
-        for use_pallas in (True, False):
-            plan, state = ng.assemble(spec, use_pallas=use_pallas)
+        # reference config last; packed storage (pack2) must also agree
+        configs = [(True, True), (True, False), (False, False)]
+        for use_pallas, packed in configs:
+            plan, state = ng.assemble(spec, use_pallas=use_pallas, pack2=packed)
             sweep = jax.jit(make_sweep(plan))
             key = jax.random.key(11)
             for s in range(n_sweeps):
@@ -210,12 +212,27 @@ def _pallas_smoke(jax, n=512, p=768, block=128, n_sweeps=3):
             outs.append(
                 (np.asarray(state.markers[0].beta), np.asarray(state.ycorr))
             )
-        db = float(np.max(np.abs(outs[0][0] - outs[1][0])))
-        dy = float(np.max(np.abs(outs[0][1] - outs[1][1])))
-        sc = float(np.max(np.abs(outs[1][1]))) + 1e-30
-        if not (db < 5e-4 and dy / sc < 5e-4):
-            print(f"# pallas smoke {name}: max|dbeta|={db:.2e} max|dycorr|/scale={dy / sc:.2e}")
-            ok = False
+        beta_ref, yc_ref = outs[-1]
+        sc = float(np.max(np.abs(yc_ref))) + 1e-30
+        for (up, pk), (beta, yc) in zip(configs[:-1], outs[:-1]):
+            db = float(np.max(np.abs(beta - beta_ref)))
+            dy = float(np.max(np.abs(yc - yc_ref)))
+            if pk:
+                # the packed gather rounds r0 differently from the XLA
+                # matmul, which can legitimately flip a handful of
+                # indicator draws over n_sweeps — require the chains to
+                # stay statistically locked rather than bit-locked
+                cb = float(np.corrcoef(beta, beta_ref)[0, 1])
+                cy = float(np.corrcoef(yc, yc_ref)[0, 1])
+                good = cb > 0.999 and cy > 0.999 and dy / sc < 0.05
+            else:
+                good = db < 5e-4 and dy / sc < 5e-4
+            if not good:
+                print(
+                    f"# pallas smoke {name} (pallas={up}, pack2={pk}): "
+                    f"max|dbeta|={db:.2e} max|dycorr|/scale={dy / sc:.2e}"
+                )
+                ok = False
     return ok
 
 

@@ -133,25 +133,47 @@ def matvec(pk, y4, interpret=False):
     return out[:, 0]
 
 
-def _rank_kernel(pk_ref, u_ref, out_ref):
-    ri = pl.program_id(1)
-    pk = pk_ref[:].astype(jnp.int32)
-    u = u_ref[0:1, :]  # (1, rt)
-    rows = [
-        jax.lax.dot_general(
-            u, ((pk >> (2 * k)) & 3).astype(F32),
-            (((1,), (0,)), ((), ())), preferred_element_type=F32)
-        for k in range(4)
-    ]
-    partial = jnp.concatenate(rows + [jnp.zeros_like(rows[0])] * 4, axis=0)
+def _make_rank_kernel(impl: str):
+    def _rank_kernel(pk_ref, u_ref, out_ref):
+        ri = pl.program_id(1)
+        pk = pk_ref[:].astype(jnp.int32)
+        if impl == "vpu":
+            # full-f32 VPU multiply + sublane reduce (exact, like the
+            # matvec). u arrives as a column vector so no in-kernel
+            # lane->sublane relayout is needed.
+            uc = u_ref[:, 0:1]  # (rt, 1)
+            rows = [
+                jnp.sum(((pk >> (2 * k)) & 3).astype(F32) * uc,
+                        axis=0, keepdims=True)
+                for k in range(4)
+            ]
+        else:
+            # MXU row-vector x matrix; HIGHEST recovers ~f32 via multi-pass
+            # (default f32 MXU passes truncate to bf16, ~1e-3 rel error)
+            prec = (jax.lax.Precision.HIGHEST if impl == "mxu_hi"
+                    else jax.lax.Precision.DEFAULT)
+            ur = jnp.transpose(u_ref[:, 0:1])  # (1, rt)
+            rows = [
+                jax.lax.dot_general(
+                    ur, ((pk >> (2 * k)) & 3).astype(F32),
+                    (((1,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=F32)
+                for k in range(4)
+            ]
+        partial = jnp.concatenate(rows + [jnp.zeros_like(rows[0])] * 4, axis=0)
 
-    @pl.when(ri == 0)
-    def _():
-        out_ref[:] = partial
+        @pl.when(ri == 0)
+        def _():
+            out_ref[:] = partial
 
-    @pl.when(ri != 0)
-    def _():
-        out_ref[:] += partial
+        @pl.when(ri != 0)
+        def _():
+            out_ref[:] += partial
+
+    return _rank_kernel
+
+
+_RANK_IMPL = __import__("os").environ.get("NG_PACK2_RANK", "vpu")
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -161,16 +183,16 @@ def rank_update(pk, u, interpret=False):
     R, q = pk.shape
     rt, qt = _tile_sizes(R, q)
     out = pl.pallas_call(
-        _rank_kernel,
+        _make_rank_kernel(_RANK_IMPL),
         grid=(q // qt, R // rt),
         in_specs=[
             pl.BlockSpec((rt, qt), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rt), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, qt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, q), F32),
         interpret=interpret,
-    )(pk, u.reshape(1, R))
+    )(pk, u.reshape(R, 1))
     return out
 
 

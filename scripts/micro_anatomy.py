@@ -23,13 +23,20 @@ F32 = jnp.float32
 REPS = 20
 
 
+def _sync(out):
+    leaf = jax.tree.leaves(out)[0]
+    # hard host readback: block_until_ready does not reliably block through
+    # the axon remote-execution tunnel
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
 def timeit(fn, *a):
     out = fn(*a)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(*a)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
+    _sync(out)
     return (time.perf_counter() - t0) / REPS
 
 
