@@ -45,26 +45,80 @@ def main():
     # simulate ON DEVICE: the remote-TPU tunnel uploads at only a few MB/s at
     # production sizes, so the int8 genotype matrix (0.5-30 GB) never leaves
     # the chip; only y (n floats) is pulled back for the ModelSpec.
+    import functools
+
     import jax.numpy as jnp
-    from nextgp_tpu.data.ingest import from_device_array
+    from nextgp_tpu.data.ingest import from_device_array, from_packed
+    from nextgp_tpu.ops import pack2
 
-    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    kg, kb, ke = jax.random.split(key, 3)
 
-    @jax.jit
-    def simulate(key):
-        kg, kb, ke = jax.random.split(key, 3)
-        g = jax.random.randint(kg, (n, p), 0, 3, jnp.int8)
-        gf = g.astype(jnp.float32)
-        bt = jnp.where(
+    def bt_fn(kb):
+        # the planted sparse signal; regenerated identically in ebv_corr
+        return jnp.where(
             jax.random.uniform(kb, (p,)) < 500.0 / p,
             jax.random.normal(kb, (p,)) * 0.1,
             0.0,
         )
-        sig = gf @ bt
-        y = sig - jnp.mean(sig) + jax.random.normal(ke, (n,))
-        return g, y
 
-    g_dev, y_dev = simulate(jax.random.key(0))
+    # panels too big to hold int8 alongside the working set are simulated in
+    # column chunks and 2-bit packed as they are generated (from_packed path)
+    # — the full north-star 50k x 600k panel is 7.4 GB packed and fits one
+    # chip, while its int8 form (30 GB) never exists.
+    chunk_bytes = int(os.environ.get("NG_BENCH_CHUNK_BYTES", 4 << 30))
+    use_packed_sim = n * p > chunk_bytes
+    if use_packed_sim:
+        q = pack2.packed_q(n)
+        pc = max(block, (chunk_bytes // 8 // n // block) * block)
+        assert p % block == 0, "chunked simulate wants block-aligned p"
+
+        @functools.partial(jax.jit, static_argnames=("cols",))
+        def sim_chunk(kc, bt_c, cols):
+            g_c = jax.random.randint(kc, (n, cols), 0, 3, jnp.int8)
+            gp = jnp.zeros((4 * q, cols), jnp.uint8).at[:n].set(g_c.astype(jnp.uint8))
+            g4 = gp.reshape(4, q, cols)
+            pk_c = (g4[0] | (g4[1] << 2) | (g4[2] << 4) | (g4[3] << 6)).T
+            sig_c = g_c.astype(jnp.float32) @ bt_c
+            return pk_c, sig_c, jnp.mean(g_c.astype(jnp.float32), axis=0)
+
+        upd = jax.jit(
+            lambda buf, c, i: jax.lax.dynamic_update_slice(buf, c, (i, 0)),
+            donate_argnums=0, static_argnums=2,
+        )
+        bt = jax.jit(bt_fn)(kb)
+        pk_full = jnp.zeros((p, q), jnp.uint8)
+        sig = jnp.zeros((n,), jnp.float32)
+        centers = []
+        for i0 in range(0, p, pc):
+            cols = min(pc, p - i0)
+            pk_c, sig_c, c_c = sim_chunk(
+                jax.random.fold_in(kg, i0), jax.lax.dynamic_slice(bt, (i0,), (cols,)), cols
+            )
+            pk_full = upd(pk_full, pk_c, i0)
+            sig = sig + sig_c
+            centers.append(c_c)
+        center = jnp.concatenate(centers)
+        y_dev = sig - jnp.mean(sig) + jax.random.normal(ke, (n,))
+        # sanity-check row subsample, taken NOW: assemble donates the packed
+        # panel into its storage relayout, so pk_full is dead afterwards
+        gs_pk = jax.jit(lambda a: a[:, :128])(pk_full)  # 512 individuals
+        marker_data = from_packed(pk_full, n, center)
+        g_dev = None
+        del pk_full, sig, centers
+    else:
+
+        @jax.jit
+        def simulate(key):
+            kg, kb, ke = jax.random.split(key, 3)
+            g = jax.random.randint(kg, (n, p), 0, 3, jnp.int8)
+            sig = g.astype(jnp.float32) @ bt_fn(kb)
+            y = sig - jnp.mean(sig) + jax.random.normal(ke, (n,))
+            return g, y
+
+        g_dev, y_dev = simulate(key)
+        marker_data = from_device_array(g_dev)
+
     y = np.asarray(jax.device_get(y_dev), np.float64)
 
     spec = ng.ModelSpec(
@@ -73,7 +127,7 @@ def main():
         markers=[
             ng.MarkerTerm(
                 "M1",
-                from_device_array(g_dev),
+                marker_data,
                 ng.BayesR([0.9, 0.05, 0.03, 0.02], [0.0, 1e-4, 1e-3, 1e-2], 1.0, estimatePi=True),
             )
         ],
@@ -150,7 +204,10 @@ def main():
 
     corr = float("nan")
     try:
-        gs_i8 = jax.lax.slice_in_dim(g_dev, 0, min(n, 2048), axis=0)
+        if use_packed_sim:  # unpack the pre-sliced 512-individual subsample
+            gs_i8 = jax.jit(lambda a: pack2.unpack2(a, jnp.int8).T)(gs_pk)
+        else:
+            gs_i8 = jax.lax.slice_in_dim(g_dev, 0, min(n, 2048), axis=0)
         corr = float(np.asarray(ebv_corr(gs_i8, state.markers[0].beta[:p], jax.random.key(0))))
     except Exception as exc:  # sanity check must not kill the bench record
         print(f"# ebv_corr sanity check failed: {exc}", file=sys.stderr)

@@ -28,6 +28,7 @@ from .data.ingest import (  # noqa: F401
     MarkerData,
     from_array,
     from_float_array,
+    from_packed,
     read_genotype_file,
     read_plink,
 )

@@ -17,24 +17,38 @@ import numpy as np
 
 @dataclasses.dataclass
 class MarkerData:
-    """Host-side marker set. genotypes int8 (nInd, nSNP), center f32 (nSNP,)."""
+    """Host-side marker set. genotypes int8 (nInd, nSNP), center f32 (nSNP,).
+
+    packed=True means genotypes holds 2-bit planar-packed rows instead:
+    (nSNP, q) uint8 with q = ops.pack2.packed_q(nInd) (see ops/pack2.py) —
+    the storage `assemble` would build anyway, built upstream so a 600k-SNP
+    panel never exists unpacked (30 GB int8 vs 7.5 GB packed at 50k ind).
+    """
 
     genotypes: np.ndarray
     center: np.ndarray
     snp_ids: list
     chr_ids: Optional[np.ndarray] = None
     sample_ids: Optional[list] = None
+    packed: bool = False
+    packed_n_ind: Optional[int] = None
 
     @property
     def n_ind(self) -> int:
-        return self.genotypes.shape[0]
+        return self.packed_n_ind if self.packed else self.genotypes.shape[0]
 
     @property
     def n_snp(self) -> int:
-        return self.genotypes.shape[1]
+        return self.genotypes.shape[0] if self.packed else self.genotypes.shape[1]
 
     def centered(self, dtype=np.float64) -> np.ndarray:
         """Dense centered marker matrix (what the reference stores)."""
+        if self.packed:
+            from ..ops import pack2
+
+            g = np.asarray(pack2.unpack2(np.asarray(self.genotypes), dtype)).T
+            g = g[: self.n_ind]
+            return g - np.asarray(self.center, dtype)[None, :]
         return self.genotypes.astype(dtype) - self.center.astype(dtype)[None, :]
 
 
@@ -108,6 +122,36 @@ def from_device_array(g, snp_ids=None, chr_ids=None) -> MarkerData:
     if snp_ids is None:
         snp_ids = [f"M{i + 1}" for i in range(g.shape[1])]
     return MarkerData(genotypes=g, center=center, snp_ids=list(snp_ids), chr_ids=chr_ids)
+
+
+def from_packed(pk, n_ind: int, center, snp_ids=None, chr_ids=None) -> MarkerData:
+    """MarkerData over already 2-bit-packed genotype rows.
+
+    pk: (nSNP, q) uint8 planar-packed (ops/pack2.py layout, q =
+    packed_q(n_ind)); center: (nSNP,) column means of the unpacked dosages.
+    Device or host arrays both work; `assemble` consumes the rows as its
+    storage without ever materializing the unpacked panel. NOTE: a
+    device-resident pk is DONATED to the storage relayout inside assemble
+    (the panel is assumed too large to hold twice), so it must not be reused
+    afterwards. This is the ingestion path for beyond-HBM synthetic panels
+    and for packed caches of .bed filesets (a 50k x 600k panel is 7.5 GB
+    packed vs 30 GB int8)."""
+    from ..ops import pack2
+
+    q_want = pack2.packed_q(n_ind)
+    if pk.dtype != np.uint8 or pk.ndim != 2 or pk.shape[1] != q_want:
+        raise ValueError(
+            f"packed rows must be (nSNP, {q_want}) uint8 for n_ind={n_ind}; "
+            f"got {pk.shape} {pk.dtype}"
+        )
+    p = pk.shape[0]
+    center = np.asarray(center, np.float64) if not hasattr(center, "devices") else center
+    if snp_ids is None:
+        snp_ids = [f"M{i + 1}" for i in range(p)]
+    return MarkerData(
+        genotypes=pk, center=center, snp_ids=list(snp_ids), chr_ids=chr_ids,
+        packed=True, packed_n_ind=int(n_ind),
+    )
 
 
 def read_genotype_file(path: str, delim: str = " ", drop_missing=True) -> MarkerData:

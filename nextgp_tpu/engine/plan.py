@@ -20,6 +20,7 @@ device arrays. Defaults and magic numbers follow the reference exactly:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple, Union
 
 import numpy as np
@@ -323,14 +324,23 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     nb = p_pad // block
 
     # packed storage: auto-on for the TPU kernel path when lossless
-    do_pack = bool(pack) if pack is not None else bool(use_pallas)
-    if do_pack and not _pack_eligible(md.genotypes):
-        if pack:  # explicit request on non-0..3 dosages is an error
+    pre_packed = bool(getattr(md, "packed", False))
+    if pre_packed:
+        if pack is False:
             raise ValueError(
-                f"marker set {term.name}: pack2 storage needs int8 dosages "
-                "in 0..3 (fractional/negative values cannot be packed)"
+                f"marker set {term.name}: genotypes arrived 2-bit packed "
+                "(from_packed); pack2=False would need the unpacked panel"
             )
-        do_pack = False
+        do_pack = True
+    else:
+        do_pack = bool(pack) if pack is not None else bool(use_pallas)
+        if do_pack and not _pack_eligible(md.genotypes):
+            if pack:  # explicit request on non-0..3 dosages is an error
+                raise ValueError(
+                    f"marker set {term.name}: pack2 storage needs int8 dosages "
+                    "in 0..3 (fractional/negative values cannot be packed)"
+                )
+            do_pack = False
     q_pk = pack2.packed_q(n) if do_pack else None
 
     # resolve virtual shards now: the storage layout depends on it. Block
@@ -344,8 +354,27 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     T_ = nb // vsh
     pad = p_pad - p
 
-    g = md.genotypes  # (n, p) int8 or f32
-    if isinstance(g, jax.Array):
+    g = md.genotypes  # (n, p) int8/f32, or (p, q) uint8 when pre-packed
+    if pre_packed:
+        # rows are already the packed storage — pad to p_pad and lay out.
+        # Done in one donated jit so the 2-bit panel (the dominant HBM
+        # object at production scale) never holds two full copies longer
+        # than the single relayout copy needs.
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _layout_packed(rows):
+            if pad:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((pad, q_pk), jnp.uint8)])
+            mt_ = rows.reshape(nb, block, q_pk)
+            if vsh > 1:
+                mt_ = mt_.reshape(vsh, T_, block, q_pk).transpose(1, 0, 2, 3)
+            return mt_
+
+        mt_store = _layout_packed(jnp.asarray(g))
+        center_full = jnp.asarray(md.center, dtype)
+        if pad:
+            center_full = jnp.concatenate([center_full, jnp.zeros((pad,), dtype)])
+    elif isinstance(g, jax.Array):
         # device-resident genotypes (e.g. synthetic benches): blockify with
         # jnp so nothing round-trips the host (the remote-device transfer is
         # minutes at 600k-SNP scale). One fused jit builds the final storage

@@ -148,3 +148,38 @@ def test_pack_eligibility(rng):
     assert not plan.markers[0].packed
     with pytest.raises(ValueError, match="pack2"):
         ng.assemble(spec, pack2=True)
+
+
+def test_from_packed_matches_from_array(rng):
+    """from_packed (pre-packed rows, the beyond-HBM ingestion path) must
+    sample the identical chain as from_array + pack2=True, including with
+    virtual shards and SNP-axis padding (p not a multiple of block)."""
+    n, p = 70, 88  # p pads to 96 at block 16
+    g = rng.integers(0, 3, (n, p), dtype=np.int8)
+    y = 1.0 + (g - g.mean(0)) @ rng.normal(0, 0.2, p) + rng.normal(0, 1, n)
+    pk = pack2.pack2_np(g)
+    center = g.astype(np.float64).mean(0)
+    prior = ng.BayesR([0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0, estimatePi=True)
+
+    def spec(md):
+        return ng.ModelSpec(
+            y=y,
+            fixed=[ng.FixedTerm("int", np.ones(n))],
+            markers=[ng.MarkerTerm("M", md, prior)],
+            block_size=16,
+        )
+
+    for vsh in (1, 3):
+        _, st_a = _run(spec(ng.from_array(g.astype(float))), pack2=True, vshards=vsh)
+        md = ng.from_packed(pk, n_ind=n, center=center)
+        assert md.n_ind == n and md.n_snp == p
+        plan_p, st_p = _run(spec(md), vshards=vsh)
+        assert plan_p.markers[0].packed
+        assert np.array_equal(np.asarray(st_a.markers[0].beta), np.asarray(st_p.markers[0].beta))
+        assert np.array_equal(np.asarray(st_a.ycorr), np.asarray(st_p.ycorr))
+
+    # centered() unpacks correctly; pack2=False on packed input is an error
+    md = ng.from_packed(pk, n_ind=n, center=center)
+    np.testing.assert_allclose(md.centered(), g.astype(np.float64) - center[None, :])
+    with pytest.raises(ValueError, match="packed"):
+        ng.assemble(spec(md), pack2=False)
