@@ -346,6 +346,12 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     # resolve virtual shards now: the storage layout depends on it. Block
     # chain v owns the contiguous blocks [v*T, (v+1)*T); storage interleaves
     # so the sweep's scan step t slices chain-major (T, V, ...) tiles.
+    if vshards == "auto":
+        # production default for the TPU kernel path: the largest divisor
+        # of nb up to 96 (the v5e sweet spot measured in bench.py — the
+        # sequential chain latency per sweep falls by V until the V-tile
+        # stops fitting the VPU). CPU/golden runs keep the reference order.
+        vshards = 96 if use_pallas else 1
     vsh = (
         max(v for v in range(1, int(vshards) + 1) if nb % v == 0)
         if vshards and vshards > 1
@@ -702,7 +708,7 @@ def assemble(
     dtype=None,
     block_size: Optional[int] = None,
     use_pallas: Optional[bool] = None,
-    vshards: int = 1,
+    vshards: Union[int, str] = 1,
     pack2: Optional[bool] = None,
 ):
     """Build (SweepPlan, ModelState) from a validated ModelSpec.
@@ -715,7 +721,9 @@ def assemble(
     same schedule a V-device sharded run uses; fills the VPU sublanes and
     cuts the sequential chain length per sweep by V). The per-draw chain
     then differs from the V=1 reference-sequential order, so golden tests
-    keep V=1; posterior moments are unaffected.
+    keep V=1; posterior moments are unaffected. "auto" picks the tuned
+    production value on the TPU kernel path (largest divisor of the block
+    count up to 96) and 1 elsewhere.
 
     pack2: None -> auto (2-bit planar genotype storage whenever the TPU
     kernel path is on and dosages are 0..3); True forces it (errors on

@@ -149,7 +149,7 @@ def run_lmem(
     dtype=None,
     keep_in_memory: bool = True,
     progress: bool = False,
-    vshards: int = 1,
+    vshards=1,
     checkpoint_every: int = 0,
     resume: bool = False,
 ) -> LMEMResult:
@@ -256,7 +256,7 @@ def run_chains(
     mesh=None,
     track=("varE",),
     out_folder: Optional[str] = None,
-    vshards: int = 1,
+    vshards=1,
     checkpoint_every: int = 0,
     resume: bool = False,
     progress: bool = False,

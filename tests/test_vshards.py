@@ -133,3 +133,14 @@ def test_vshards_fallback_when_indivisible(rng):
     spec, _, _ = _spec(rng)
     plan, _ = ng.assemble(spec, vshards=5)  # nb=6, largest divisor <= 5 is 3
     assert plan.markers[0].vshards == 3
+
+
+def test_vshards_auto(rng):
+    """vshards="auto": reference order (V=1) off the kernel path; largest
+    divisor of the block count up to 96 on it."""
+    spec, _, _ = _spec(rng, method="BayesR")  # p=96, block 16 -> nb=6
+    plan, _ = ng.assemble(spec, vshards="auto")  # CPU backend -> V=1
+    assert plan.markers[0].vshards == 1
+    plan, state = ng.assemble(spec, vshards="auto", use_pallas=True)
+    assert plan.markers[0].vshards == 6
+    assert state.markers[0].mt.ndim == 4
