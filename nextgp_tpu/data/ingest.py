@@ -165,16 +165,29 @@ def read_genotype_file(path: str, delim: str = " ", drop_missing=True) -> Marker
     if native.available():
         from ..native import api as nat
 
-        g, col_sum, col_n = nat.parse_genotypes(path)
-        return _finish_int8(g, col_sum, col_n, drop_missing=drop_missing)
+        try:
+            g, col_sum, col_n = nat.parse_genotypes(path)
+            return _finish_int8(g, col_sum, col_n, drop_missing=drop_missing)
+        except ValueError as exc:
+            if "non-integral" not in str(exc):
+                raise
+            # fractional dosages: fall through to the float reader — the
+            # reference accepts any real-valued genotype file and stores
+            # centered floats (prepMatVec.jl:129)
     rows = []
     with open(path) as fh:
         for line in fh:
             line = line.strip()
             if not line:
                 continue
-            rows.append([np.nan if t in ("NA", ".", "") else float(t) for t in line.split()])
-    return from_array(np.asarray(rows))
+            rows.append([np.nan if t in ("NA", ".", "NaN", "nan") else float(t) for t in line.split()])
+    m = np.asarray(rows, np.float64)
+    keep = ~np.isnan(m).any(axis=0) if drop_missing else np.ones(m.shape[1], bool)
+    mk = m[:, keep]
+    if np.array_equal(mk, np.round(mk)) and 0 <= mk.min() and mk.max() <= 127:
+        return from_array(m, drop_missing=drop_missing)
+    return from_float_array(
+        mk, snp_ids=[f"M{i + 1}" for i in np.flatnonzero(keep)])
 
 
 def _bed_decode_numpy(path: str, n: int, p: int):

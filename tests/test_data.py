@@ -145,3 +145,22 @@ def test_device_array_assembly_matches_host(rng):
     np.testing.assert_allclose(
         np.asarray(st_h.markers[0].beta), np.asarray(st_d.markers[0].beta), atol=1e-9
     )
+
+
+def test_read_genotype_file_fractional_fallback(tmp_path):
+    """Real-valued genotype files fall back to float storage (the reference
+    stores centered f64 for any numeric file, prepMatVec.jl:129); columns
+    with missing values still drop (prepMatVec.jl:118)."""
+    path = tmp_path / "geno_frac.txt"
+    path.write_text(
+        "0.1 1 2.5 NA\n"
+        "1.9 0 0.5 1\n"
+        "0.7 2 1.5 2\n"
+    )
+    md = ingest.read_genotype_file(str(path))
+    assert md.n_snp == 3 and md.n_ind == 3  # NA column dropped
+    assert md.genotypes.dtype == np.float32
+    np.testing.assert_allclose(md.center, [0.9, 1.0, 1.5], atol=1e-6)
+    np.testing.assert_allclose(
+        md.centered(), np.array([[0.1, 1, 2.5], [1.9, 0, 0.5], [0.7, 2, 1.5]])
+        - np.array([0.9, 1.0, 1.5]), atol=1e-6)
