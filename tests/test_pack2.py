@@ -183,3 +183,25 @@ def test_from_packed_matches_from_array(rng):
     np.testing.assert_allclose(md.centered(), g.astype(np.float64) - center[None, :])
     with pytest.raises(ValueError, match="packed"):
         ng.assemble(spec(md), pack2=False)
+
+
+def test_run_lmem_with_packed_markers(rng, tmp_path):
+    """Full runtime path (writer, summaries, EBV bookkeeping) over
+    pre-packed marker data."""
+    from nextgp_tpu.runtime import run_lmem
+
+    n, p = 60, 48
+    g = rng.integers(0, 3, (n, p), dtype=np.int8)
+    y = 1.0 + (g - g.mean(0)) @ rng.normal(0, 0.3, p) + rng.normal(0, 1, n)
+    md = ng.from_packed(pack2.pack2_np(g), n_ind=n, center=g.astype(float).mean(0))
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", md, ng.BayesC(0.2, 0.05, estimatePi=True))],
+        block_size=16,
+    )
+    res = run_lmem(spec, n_chain=60, n_burn=20, n_thin=4,
+                   out_folder=str(tmp_path / "out"))
+    beta = res.posterior_mean("betaM")
+    assert beta.shape == (p,) and np.isfinite(beta).all()
+    assert (tmp_path / "out" / "betaMOut").exists()
