@@ -65,8 +65,10 @@ def main():
     # panels too big to hold int8 alongside the working set are simulated in
     # column chunks and 2-bit packed as they are generated (from_packed path)
     # — the full north-star 50k x 600k panel is 7.4 GB packed and fits one
-    # chip, while its int8 form (30 GB) never exists.
-    chunk_bytes = int(os.environ.get("NG_BENCH_CHUNK_BYTES", 4 << 30))
+    # chip, while its int8 form (30 GB) never exists. Threshold 2 GB: the
+    # plain path's signal matmul materializes an f32 copy of the panel, so
+    # its real HBM footprint is ~5x the int8 bytes.
+    chunk_bytes = int(os.environ.get("NG_BENCH_CHUNK_BYTES", 2 << 30))
     use_packed_sim = n * p > chunk_bytes
     if use_packed_sim:
         q = pack2.packed_q(n)
@@ -214,12 +216,14 @@ def main():
 
     # on-device Pallas-vs-XLA correctness smoke (VERDICT r1 item 6): a tiny
     # BayesR model swept with and without the Pallas kernels must agree.
+    # NG_BENCH_SMOKE=0 skips it (multi-shape ladder runs pay it once).
     pallas_ok = None
-    try:
-        pallas_ok = _pallas_smoke(jax)
-    except Exception as exc:
-        print(f"# pallas smoke failed: {exc}", file=sys.stderr)
-        pallas_ok = False
+    if os.environ.get("NG_BENCH_SMOKE", "1") != "0":
+        try:
+            pallas_ok = _pallas_smoke(jax)
+        except Exception as exc:
+            print(f"# pallas smoke failed: {exc}", file=sys.stderr)
+            pallas_ok = False
 
     print(
         f"# assemble {t_assemble:.1f}s, compile {t_compile:.1f}s, "

@@ -39,6 +39,8 @@ def split_rhat(chains: np.ndarray) -> np.ndarray:
     c = np.atleast_3d(chains)
     n_ch, n_dr, dim = c.shape
     half = n_dr // 2
+    if half < 2:  # too few draws to split: R-hat undefined
+        return np.full(c.shape[2], np.nan)
     split = np.concatenate([c[:, :half], c[:, half : 2 * half]], axis=0)
     m, n = split.shape[0], split.shape[1]
     means = split.mean(axis=1)  # (m, dim)
