@@ -217,18 +217,18 @@ def main():
     # on-device Pallas-vs-XLA correctness smoke (VERDICT r1 item 6): a tiny
     # BayesR model swept with and without the Pallas kernels must agree.
     # NG_BENCH_SMOKE=0 skips it (multi-shape ladder runs pay it once).
-    pallas_ok = None
+    pallas_ok = "skipped"
     if os.environ.get("NG_BENCH_SMOKE", "1") != "0":
         try:
-            pallas_ok = _pallas_smoke(jax)
+            pallas_ok = "ok" if _pallas_smoke(jax) else "FAIL"
         except Exception as exc:
             print(f"# pallas smoke failed: {exc}", file=sys.stderr)
-            pallas_ok = False
+            pallas_ok = "FAIL"
 
     print(
         f"# assemble {t_assemble:.1f}s, compile {t_compile:.1f}s, "
         f"{dt / n_sweeps * 1e3:.1f} ms/sweep, EBV corr {corr:.3f} "
-        f"after {2 * n_sweeps} sweeps, pallas_smoke={'ok' if pallas_ok else 'FAIL'}, "
+        f"after {2 * n_sweeps} sweeps, pallas_smoke={pallas_ok}, "
         f"backend={jax.default_backend()}",
         file=sys.stderr,
     )

@@ -64,12 +64,7 @@ def run_case(name, plan, state, n_sweeps=50):
     return dt
 
 
-def main():
-    n = int(os.environ.get("NB_N", 10000))
-    p = int(os.environ.get("NB_P", 49152))
-    block = int(os.environ.get("NB_B", 256))
-    vshards = int(os.environ.get("NB_V", 96))
-
+def _int8_cases(n, p, block, vshards):
     plan, state = build(n, p, block, vshards, pack2=False)
     run_case("baseline int8", plan, state)
 
@@ -107,9 +102,44 @@ def main():
     gibbs_kernels.r_block_pack = orig_pack
     gibbs_kernels.r_block_scan_v = orig_scan
 
+
+def main():
+    n = int(os.environ.get("NB_N", 10000))
+    p = int(os.environ.get("NB_P", 49152))
+    block = int(os.environ.get("NB_B", 256))
+    vshards = int(os.environ.get("NB_V", 96))
+    orig_scan = gibbs_kernels.r_block_scan_v
+
+    if os.environ.get("NB_SKIP_INT8", "0") != "1":
+        _int8_cases(n, p, block, vshards)
+
     # packed storage end to end
     plan, state = build(n, p, block, vshards, pack2=True)
     run_case("baseline pack2", plan, state)
+
+    # pack2 with the scan kernel ablated -> passes + tail only
+    gibbs_kernels.r_block_scan_v = (
+        lambda gram_t, pk, K, interpret=False: (
+            pk[:, :, 1], jnp.zeros(pk.shape[:2], F32), jnp.ones(pk.shape[:2], jnp.int32))
+    )
+    plan, state = build(n, p, block, vshards, pack2=True)
+    run_case("pack2, no pallas scan kernel", plan, state)
+    gibbs_kernels.r_block_scan_v = orig_scan
+
+    # pack2 with the gather ablated (constant r0): scatter + scan + tail
+    from nextgp_tpu.ops import pack2 as p2
+    orig_mv = p2.matvec
+    p2.matvec = lambda pk, y4, interpret=False: jnp.zeros((pk.shape[0], 1), F32)[:, 0] + y4[0, 0]
+    plan, state = build(n, p, block, vshards, pack2=True)
+    run_case("pack2, no gather", plan, state)
+    p2.matvec = orig_mv
+
+    # pack2 with the scatter ablated: gather + scan + tail
+    orig_ru = p2.rank_update
+    p2.rank_update = lambda pk, u, interpret=False: jnp.zeros((8, pk.shape[1]), F32) + u[0]
+    plan, state = build(n, p, block, vshards, pack2=True)
+    run_case("pack2, no scatter", plan, state)
+    p2.rank_update = orig_ru
 
 
 if __name__ == "__main__":
