@@ -76,7 +76,7 @@ def roofline(plan: SweepPlan, device: str = "v5e", n_shards: int = 1) -> Rooflin
     flops = 0.0
     for mp in plan.markers:
         p_local = mp.p_pad / max(1, n_shards)
-        itemsize = 1  # int8 storage
+        itemsize = 0.25 if getattr(mp, "packed", False) else 1  # pack2 / int8
         bytes_total += 2 * p_local * n * itemsize  # two passes over mt
         bytes_total += p_local * mp.block * 4  # Gram blocks (f32)
         flops += 2 * 2 * p_local * n  # matvec + rank-B update MACs

@@ -156,6 +156,7 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
     packed = ms.mt.dtype == jnp.uint8
     n_real = ycorr.shape[0]
     padn = 0
+    step_kern = False
     if packed:
         from ...ops import pack2
 
@@ -171,12 +172,21 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
                     d_inv = jnp.concatenate([d_inv, jnp.zeros((padn,), dtype)])
                 pad_mask = jnp.arange(n4) < n_real
 
-            def gather(mtb2, yv):  # (R, q) uint8 @ padded (n4,) -> (R,)
-                return pack2.matvec(mtb2, pack2.y_planar(yv)).astype(dtype)
+            # step-indexed kernels: the scan carries only the step index;
+            # the pallas BlockSpec offsets its DMA into the full panel, so
+            # the per-step (rows, q) slice is never materialized (an extra
+            # read+write pass over the whole panel per sweep otherwise)
+            step_kern = True
+            rows = V * ms.mpm.shape[1] if ms.mt.ndim == 4 else ms.mpm.shape[1]
+            mt_rows = ms.mt.reshape(-1, ms.mt.shape[-1])
 
-            def scatter(mtb2, u):  # u (R,) -> (n4,)
-                return pack2.rank_update(
-                    mtb2, u.astype(jnp.float32))[:4].reshape(-1).astype(dtype)
+            def gather(tb, yv):  # step index @ padded (n4,) -> (rows,)
+                return pack2.matvec_step(
+                    mt_rows, tb, pack2.y_planar(yv), rows).astype(dtype)
+
+            def scatter(tb, u):  # u (rows,) -> (n4,)
+                return pack2.rank_update_step(
+                    mt_rows, tb, u.astype(jnp.float32))[:4].reshape(-1).astype(dtype)
         else:
             # fallback: unpack sliced to n so the matmul is the exact
             # unpacked computation (same shapes => same reduction order,
@@ -202,7 +212,9 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
         return c
 
     if ms.mt.ndim == 3:
-        leaves = (ms.mt, ms.center, ms.gram, graw,
+        nb3 = ms.mt.shape[0]
+        mt_leaf = jnp.arange(nb3, dtype=jnp.int32) if step_kern else ms.mt
+        leaves = (mt_leaf, ms.center, ms.gram, graw,
                   ms.beta.reshape(ms.mpm.shape), locus_xs)
 
         def block_body(ycorr, xs):
@@ -250,7 +262,10 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
 
     def block_body(ycorr, xs):
         mtb, cb, gram_t, graw_t, beta_old_b, lxs = xs
-        mtf = mtb.reshape(V * B, ncol) if packed else mtb.astype(dtype).reshape(V * B, ncol)
+        if step_kern:
+            mtf = mtb  # step index; the kernels DMA from the full panel
+        else:
+            mtf = mtb.reshape(V * B, ncol) if packed else mtb.astype(dtype).reshape(V * B, ncol)
         if d_inv is not None:
             yw = d_inv * ycorr
             r0 = gather(mtf, yw).reshape(V, B) - cb * jnp.sum(yw)
@@ -265,7 +280,8 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
         ycorr = ycorr + ctx.psum(correction)
         return ycorr, (beta_new_b, outs)
 
-    xs = (ms.mt, ms.center, ms.gram, graw, beta_g, lxs_g)
+    mt_leaf = jnp.arange(T, dtype=jnp.int32) if step_kern else ms.mt
+    xs = (mt_leaf, ms.center, ms.gram, graw, beta_g, lxs_g)
     ycorr, (beta_new, outs) = lax.scan(block_body, ycorr, xs)
     # (T, V, B, ...) -> global flat order (shard-major: v*T + t)
     beta = jnp.swapaxes(beta_new, 0, 1).reshape(-1)

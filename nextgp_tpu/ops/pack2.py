@@ -200,3 +200,74 @@ def y_planar(yp):
     """(4q,) f32 residual (already padded) -> (8, q) kernel view."""
     q = yp.shape[0] // 4
     return jnp.concatenate([yp.reshape(4, q), jnp.zeros((4, q), yp.dtype)], axis=0)
+
+
+# ------------------------------------------------- step-indexed kernel entry
+#
+# The sweep's outer lax.scan used to carry the packed panel as a scan leaf,
+# which makes XLA materialize a copy of each step's (rows, q) slice before
+# the pallas call — a full extra read+write pass over the panel per sweep
+# (profiled at ~20% of sweep time at 50k x 73.7k). These variants instead
+# take the FULL panel plus the step index as a scalar-prefetch argument:
+# the BlockSpec index_map offsets the DMA into the right rows of HBM, so
+# no slice ever exists.
+
+
+def _matvec_kernel_sp(t_ref, pk_ref, y4_ref, out_ref):
+    _matvec_kernel(pk_ref, y4_ref, out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def matvec_step(pk_all, t, y4, rows, interpret=False):
+    """r0 for step t: unpack(pk_all[t*rows:(t+1)*rows]) @ y4planar.
+
+    pk_all (T*rows, q) uint8 (all steps, row-major), t scalar int, y4 as in
+    `matvec`. Equals matvec(pk_all[t*rows:(t+1)*rows], y4) without
+    materializing the step slice."""
+    _, q = pk_all.shape
+    rt, qt = _tile_sizes(rows, q)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows // rt, q // qt),
+        in_specs=[
+            pl.BlockSpec((rt, qt), lambda i, j, t_ref: (t_ref[0] * (rows // rt) + i, j)),
+            pl.BlockSpec((8, qt), lambda i, j, t_ref: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((rt, 1), lambda i, j, t_ref: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _matvec_kernel_sp,
+        out_shape=jax.ShapeDtypeStruct((rows, 1), F32),
+        grid_spec=gs,
+        interpret=interpret,
+    )(jnp.asarray(t, jnp.int32).reshape(1), pk_all, y4)
+    return out[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rank_update_step(pk_all, t, u, interpret=False):
+    """dy for step t: u @ unpack(pk_all[t*rows:(t+1)*rows]), rows = len(u).
+    Planar (8, q) output as in `rank_update`; no step slice materialized."""
+    rows = u.shape[0]
+    _, q = pk_all.shape
+    rt, qt = _tile_sizes(rows, q)
+    kernel = _make_rank_kernel(_RANK_IMPL)
+
+    def _kernel_sp(t_ref, pk_ref, u_ref, out_ref):
+        kernel(pk_ref, u_ref, out_ref)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q // qt, rows // rt),
+        in_specs=[
+            pl.BlockSpec((rt, qt), lambda j, i, t_ref: (t_ref[0] * (rows // rt) + i, j)),
+            pl.BlockSpec((rt, 1), lambda j, i, t_ref: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, qt), lambda j, i, t_ref: (0, j)),
+    )
+    return pl.pallas_call(
+        _kernel_sp,
+        out_shape=jax.ShapeDtypeStruct((8, q), F32),
+        grid_spec=gs,
+        interpret=interpret,
+    )(jnp.asarray(t, jnp.int32).reshape(1), pk_all, u.reshape(rows, 1))

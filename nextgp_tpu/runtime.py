@@ -61,11 +61,23 @@ def _headers(spec: ModelSpec, plan: SweepPlan) -> Dict[str, List[str]]:
     return h
 
 
-def model_card(spec: ModelSpec, plan: SweepPlan) -> str:
+def model_card(spec: ModelSpec, plan: SweepPlan, state=None) -> str:
     """Assemble-time summary of the resolved model: what the reference
     prints as input/analysis tables (prepMatVec.jl:172-173, mme.jl:537-538)
     and green prior-resolution notices (mme.jl:29-41,67-80,290,336). Every
-    silently-substituted default is spelled out."""
+    silently-substituted default is spelled out. With `state` (the
+    assembled ModelState) the resolved prior scales are shown too — the
+    reference's analysis-summary `scale` column (mme.jl:537-538)."""
+
+    def _sc(container, i):
+        if state is None:
+            return ""
+        try:
+            s = np.asarray(getattr(state, container)[i].scale)
+        except (AttributeError, IndexError, TypeError):
+            return ""
+        return f", scale {s:g}" if s.ndim == 0 else f", scale {s.tolist()}"
+
     lines = [f"Model: n = {plan.n} observations, dtype {plan.dtype}"]
     res = spec.residual
     if res is None:
@@ -73,24 +85,28 @@ def model_card(spec: ModelSpec, plan: SweepPlan) -> str:
     else:
         s = res.str_ if isinstance(res.str_, str) else "D (weights)"
         lines.append(f"  residual: Random({s!r}, {res.v})")
-    lines.append(f"    df = {plan.e_df}, weighted = {plan.weighted}")
+    e_sc = "" if state is None else f", scale = {float(np.asarray(state.e.scale)):g}"
+    lines.append(f"    df = {plan.e_df}{e_sc}, weighted = {plan.weighted}")
     for fp in plan.fixed:
         nm = fp.name if isinstance(fp.name, str) else " + ".join(fp.name)
         kind = "blocked fixed" if isinstance(fp.name, tuple) else "fixed"
         lines.append(f"  {kind}: {nm}  ({fp.k} column{'s' if fp.k != 1 else ''})")
+    # positional spec<->plan pairing: names can repeat (PED(Dam) + (1|Dam)
+    # are both "Dam"), so a name-keyed dict would collapse them
+    positional = len(spec.random) == len(plan.random)
     by_name = {t.name: t for t in spec.random}
-    for rp in plan.random:
+    for i, rp in enumerate(plan.random):
         nm = rp.name if isinstance(rp.name, str) else " + ".join(rp.name)
-        t = by_name.get(rp.name)
+        t = spec.random[i] if positional else by_name.get(rp.name)
         label = getattr(t, "structure_label", None) or "I"
         dflt = "" if (t is None or t.prior is not None) else "  [default Random('I', 100.0)]"
         corr = ", correlated" if rp.correlated else ""
         lines.append(
             f"  random: {nm}  ({rp.q} levels, structure {label}, "
-            f"sampler {rp.sampler}{corr}, df {rp.df}){dflt}"
+            f"sampler {rp.sampler}{corr}, df {rp.df}{_sc('random', i)}){dflt}"
         )
     spec_m = {t.name: t for t in spec.markers}
-    for mp in plan.markers:
+    for mi, mp in enumerate(plan.markers):
         t = spec_m.get(mp.name)
         dflt = (
             "  [default BayesPR(9999, 0.05) — no prior given]"
@@ -106,7 +122,7 @@ def model_card(spec: ModelSpec, plan: SweepPlan) -> str:
             extra.append(f"{mp.n_regions} region{'s' if mp.n_regions != 1 else ''}")
         if mp.est_pi:
             extra.append("estimate pi")
-        extra.append(f"df {mp.df}")
+        extra.append(f"df {mp.df}{_sc('markers', mi)}")
         extra.append(f"block {mp.block} x {mp.n_blocks}")
         if mp.vshards > 1:
             extra.append(f"vshards {mp.vshards}")
@@ -177,7 +193,7 @@ def run_lmem(
         folder_handler(out_folder)
     plan, state = assemble(spec, dtype=dtype, vshards=vshards)
     if progress:
-        print(model_card(spec, plan))
+        print(model_card(spec, plan, state))
     fingerprint = plan_fingerprint(plan)
     runner = make_chain_runner(plan, n_thin)
     key = jax.random.key(seed)

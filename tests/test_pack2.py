@@ -205,3 +205,25 @@ def test_run_lmem_with_packed_markers(rng, tmp_path):
     beta = res.posterior_mean("betaM")
     assert beta.shape == (p,) and np.isfinite(beta).all()
     assert (tmp_path / "out" / "betaMOut").exists()
+
+
+def test_step_kernels_match_slice_kernels(rng):
+    """matvec_step/rank_update_step (scalar-prefetch DMA into the full
+    panel; used by the TPU sweep so the outer scan never materializes a
+    per-step panel slice) == the sliced single-step kernels, bit-exact."""
+    n, T, rows = 700, 3, 512
+    q = pack2.packed_q(n)
+    g = rng.integers(0, 3, (n, T * rows), dtype=np.int8)
+    pk = jnp.asarray(pack2.pack2_np(g))
+    yp = jnp.asarray(
+        np.concatenate([rng.normal(0, 1, n), np.zeros(4 * q - n)]).astype(np.float32))
+    y4 = pack2.y_planar(yp)
+    u = jnp.asarray(rng.normal(0, 1, rows).astype(np.float32))
+    for t in range(T):
+        sl = pk[t * rows:(t + 1) * rows]
+        np.testing.assert_array_equal(
+            np.asarray(pack2.matvec_step(pk, t, y4, rows, interpret=True)),
+            np.asarray(pack2.matvec(sl, y4, interpret=True)))
+        np.testing.assert_array_equal(
+            np.asarray(pack2.rank_update_step(pk, jnp.int32(t), u, interpret=True)),
+            np.asarray(pack2.rank_update(sl, u, interpret=True)))
