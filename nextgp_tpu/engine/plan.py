@@ -348,10 +348,19 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     # so the sweep's scan step t slices chain-major (T, V, ...) tiles.
     if vshards == "auto":
         # production default for the TPU kernel path: the largest divisor
-        # of nb up to 96 (the v5e sweet spot measured in bench.py — the
-        # sequential chain latency per sweep falls by V until the V-tile
-        # stops fitting the VPU). CPU/golden runs keep the reference order.
-        vshards = 96 if use_pallas else 1
+        # of nb up to 144, preferring sublane-aligned values — the
+        # sequential chain latency per sweep falls by V until the (V, B)
+        # tile stops fitting the VPU, and odd V tiles pad badly (measured
+        # on v5e at 50k x 590-599k: V=144 81.3 ms, V=180 83.7, V=96-ish
+        # schedule 87.3, V=117 (odd) 111.3). CPU/golden runs keep the
+        # reference-sequential order.
+        if use_pallas:
+            cands = [v for v in range(1, min(nb, 144) + 1) if nb % v == 0]
+            pref = ([v for v in cands if v % 8 == 0]
+                    or [v for v in cands if v % 2 == 0] or cands)
+            vshards = max(pref)
+        else:
+            vshards = 1
     vsh = (
         max(v for v in range(1, int(vshards) + 1) if nb % v == 0)
         if vshards and vshards > 1

@@ -1,0 +1,61 @@
+"""Serving utilities: genomic values (EBV) and out-of-sample prediction.
+
+The reference leaves prediction to the user (EBV = M beta with the posterior
+means read back from `betaOut`, e.g. docs/src/BWGR/BWGR.md:50-58). These
+helpers make that a first-class, panel-size-safe operation:
+
+* `genomic_values(md, beta)` — centered training-panel genomic values
+  Mc @ beta. Works on plain int8 and 2-bit packed `MarkerData` alike; the
+  packed path contracts directly on the packed bytes (the same planar
+  unpack as ops/pack2.py, chunked over loci) so the unpacked panel never
+  materializes — a 50k x 600k panel is handled in 7.5 GB.
+* `predict(md_train, beta, new_genotypes)` — genomic values for NEW
+  individuals: (new_genotypes - training centers) @ beta. Centering uses
+  the TRAINING allele means (the model's parameterization); loci missing
+  in the new panel are not supported — align columns upstream.
+
+Both accept a posterior-mean vector (e.g. `res.posterior_mean("betaM1")`)
+or any (p,) array.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .data.ingest import MarkerData
+
+
+def _beta_vec(beta, p):
+    b = np.asarray(beta, dtype=np.float64).reshape(-1)
+    if b.shape[0] != p:
+        raise ValueError(f"beta has {b.shape[0]} entries, marker set has {p} loci")
+    return b
+
+
+def genomic_values(md: MarkerData, beta, chunk: int = 8192) -> np.ndarray:
+    """Training-panel genomic values g = (M - center) @ beta, (nInd,) f64."""
+    b = _beta_vec(beta, md.n_snp)
+    offset = float(np.dot(np.asarray(md.center, np.float64), b))
+    if not md.packed:
+        return md.genotypes.astype(np.float64) @ b - offset
+    # packed rows: accumulate beta-weighted planar sums chunk-by-chunk
+    pk = md.genotypes  # (p, q) uint8
+    q = pk.shape[1]
+    acc = np.zeros(4 * q, np.float64)
+    for i0 in range(0, pk.shape[0], chunk):
+        blk = pk[i0:i0 + chunk].astype(np.int32)
+        bb = b[i0:i0 + chunk]
+        for k in range(4):
+            acc[k * q:(k + 1) * q] += ((blk >> (2 * k)) & 3).T @ bb
+    return acc[: md.n_ind] - offset
+
+
+def predict(md_train: MarkerData, beta, new_genotypes) -> np.ndarray:
+    """Genomic values for new individuals under the trained model:
+    (new_genotypes - training centers) @ beta. new_genotypes (m, p) dosages
+    in the TRAINING locus order."""
+    b = _beta_vec(beta, md_train.n_snp)
+    g = np.asarray(new_genotypes, dtype=np.float64)
+    if g.ndim != 2 or g.shape[1] != md_train.n_snp:
+        raise ValueError(
+            f"new_genotypes must be (m, {md_train.n_snp}); got {g.shape}")
+    return g @ b - float(np.dot(np.asarray(md_train.center, np.float64), b))

@@ -227,3 +227,27 @@ def test_step_kernels_match_slice_kernels(rng):
         np.testing.assert_array_equal(
             np.asarray(pack2.rank_update_step(pk, jnp.int32(t), u, interpret=True)),
             np.asarray(pack2.rank_update(sl, u, interpret=True)))
+
+
+def test_genomic_values_packed_matches_dense(rng):
+    """predict.genomic_values contracts on the packed bytes directly and
+    must equal the dense centered M @ beta; predict() centers new
+    individuals with the TRAINING allele means."""
+    n, p = 150, 300
+    g = rng.integers(0, 3, (n, p), dtype=np.int8)
+    center = g.astype(float).mean(0)
+    beta = rng.normal(0, 0.1, p)
+    md_dense = ng.from_array(g)
+    md_packed = ng.from_packed(pack2.pack2_np(g), n_ind=n, center=center)
+    ref = (g - center[None, :]) @ beta
+    np.testing.assert_allclose(ng.genomic_values(md_dense, beta), ref, atol=1e-9)
+    np.testing.assert_allclose(
+        ng.genomic_values(md_packed, beta, chunk=64), ref, atol=1e-9)
+    g_new = rng.integers(0, 3, (7, p))
+    np.testing.assert_allclose(
+        ng.predict(md_dense, beta, g_new), (g_new - center[None, :]) @ beta,
+        atol=1e-9)
+    with pytest.raises(ValueError, match="loci"):
+        ng.genomic_values(md_dense, beta[:-1])
+    with pytest.raises(ValueError, match="must be"):
+        ng.predict(md_dense, beta, g_new[:, :-1])
