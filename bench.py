@@ -261,24 +261,32 @@ def _pallas_smoke(jax, n=512, p=768, block=128, n_sweeps=3):
             markers=[ng.MarkerTerm("M1", ng.from_array(g), prior)],
             block_size=block,
         )
-        outs = []
-        # reference config last; packed storage (pack2) must also agree
-        configs = [(True, True), (True, False), (False, False)]
-        for use_pallas, packed in configs:
-            plan, state = ng.assemble(spec, use_pallas=use_pallas, pack2=packed)
+        # (pallas, packed, V): V=1 rows against the reference-order chain;
+        # the V=4 pair ("R"/"RCplus" only, to bound compile count) checks
+        # the production V-batched scan kernels + step-indexed
+        # scalar-prefetch gather/scatter against the pure-JAX V=4 schedule.
+        configs = [(True, True, 1), (True, False, 1), (False, False, 1)]
+        if name in ("R", "RCplus"):
+            configs += [(True, True, 4), (False, False, 4)]
+
+        def run_chain(use_pallas, packed, vsh):
+            plan, state = ng.assemble(spec, use_pallas=use_pallas,
+                                      pack2=packed, vshards=vsh)
             sweep = jax.jit(make_sweep(plan))
             key = jax.random.key(11)
             for s in range(n_sweeps):
                 state = sweep(state, jax.random.fold_in(key, s))
-            outs.append(
-                (np.asarray(state.markers[0].beta), np.asarray(state.ycorr))
-            )
-        beta_ref, yc_ref = outs[-1]
-        sc = float(np.max(np.abs(yc_ref))) + 1e-30
-        for (up, pk), (beta, yc) in zip(configs[:-1], outs[:-1]):
+            return np.asarray(state.markers[0].beta), np.asarray(state.ycorr)
+
+        outs = {cfg: run_chain(*cfg) for cfg in configs}
+
+        def check(cfg, ref_cfg, loose):
+            beta, yc = outs[cfg]
+            beta_ref, yc_ref = outs[ref_cfg]
+            sc = float(np.max(np.abs(yc_ref))) + 1e-30
             db = float(np.max(np.abs(beta - beta_ref)))
             dy = float(np.max(np.abs(yc - yc_ref)))
-            if pk:
+            if loose:
                 # the packed gather rounds r0 differently from the XLA
                 # matmul, which can legitimately flip a handful of
                 # indicator draws over n_sweeps — require the chains to
@@ -290,10 +298,15 @@ def _pallas_smoke(jax, n=512, p=768, block=128, n_sweeps=3):
                 good = db < 5e-4 and dy / sc < 5e-4
             if not good:
                 print(
-                    f"# pallas smoke {name} (pallas={up}, pack2={pk}): "
+                    f"# pallas smoke {name} {cfg} vs {ref_cfg}: "
                     f"max|dbeta|={db:.2e} max|dycorr|/scale={dy / sc:.2e}"
                 )
-                ok = False
+            return good
+
+        ok &= check((True, True, 1), (False, False, 1), loose=True)
+        ok &= check((True, False, 1), (False, False, 1), loose=False)
+        if (True, True, 4) in outs:
+            ok &= check((True, True, 4), (False, False, 4), loose=True)
     return ok
 
 

@@ -260,12 +260,22 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
         return jax.vmap(one, in_axes=(1, in2, 0, in4, 0, 0))(
             gram_t, graw_t, r0, r0_raw, beta_old_b, lxs)
 
+    # Gram step-indexing: with the pallas scan kernels and step-indexed
+    # panel kernels active, the Gram also stays out of the scan leaves —
+    # the kernel DMAs step t's (B, V, B) block from the full (T, B, V, B)
+    # array via a scalar-prefetch index (no per-step slice copy). The
+    # pure-JAX vscan fallback still needs actual slices.
+    gram_step = step_kern and scan_impl_v is not None
+    assert not (gram_step and use_raw), "weighted raw path is JAX-only"
+
     def block_body(ycorr, xs):
         mtb, cb, gram_t, graw_t, beta_old_b, lxs = xs
         if step_kern:
             mtf = mtb  # step index; the kernels DMA from the full panel
         else:
             mtf = mtb.reshape(V * B, ncol) if packed else mtb.astype(dtype).reshape(V * B, ncol)
+        if gram_step:
+            gram_t = (ms.gram, mtb)
         if d_inv is not None:
             yw = d_inv * ycorr
             r0 = gather(mtf, yw).reshape(V, B) - cb * jnp.sum(yw)
@@ -281,7 +291,10 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
         return ycorr, (beta_new_b, outs)
 
     mt_leaf = jnp.arange(T, dtype=jnp.int32) if step_kern else ms.mt
-    xs = (mt_leaf, ms.center, ms.gram, graw, beta_g, lxs_g)
+    placeholder = jnp.zeros((T, 1), jnp.int8)
+    gram_leaf = placeholder if gram_step else ms.gram
+    graw_leaf = placeholder if gram_step else graw
+    xs = (mt_leaf, ms.center, gram_leaf, graw_leaf, beta_g, lxs_g)
     ycorr, (beta_new, outs) = lax.scan(block_body, ycorr, xs)
     # (T, V, B, ...) -> global flat order (shard-major: v*T + t)
     beta = jnp.swapaxes(beta_new, 0, 1).reshape(-1)

@@ -235,12 +235,57 @@ def r_block_scan(gram, pk_b, n_classes, interpret=False):
 # tiles (single store at the end) instead of per-iteration scatter stores.
 
 
-def _call_v(kernel, gram_t, pk_t, n_extra_out=0, interpret=False):
-    B, V, _ = gram_t.shape
-    outs = [
-        jax.ShapeDtypeStruct((V, B), F32),  # beta
-        jax.ShapeDtypeStruct((V, B), F32),  # u
-    ] + [jax.ShapeDtypeStruct((V, B), jnp.int32)] * n_extra_out
+def _gram_dims(gram_t):
+    """(B, V) whether gram_t is a per-step (B, V, B) block or a
+    ((T, B, V, B), t) step-indexed tuple."""
+    shape = gram_t[0].shape[1:] if isinstance(gram_t, tuple) else gram_t.shape
+    return shape[0], shape[1]
+
+
+def _pallas_step_call(kernel, gram_t, pk_t, outs, interpret):
+    """Invoke a V-batched scan kernel.
+
+    gram_t is either the per-step locus-major (B, V, B) Gram block
+    (full-VMEM operands — the original path), or a tuple
+    (gram_all (T, B, V, B), t): then the kernel's BlockSpec DMAs step t's
+    block straight out of the full Gram array via a scalar-prefetch index,
+    so the caller's scan never materializes a per-step Gram slice (an
+    extra read+write pass over the whole Gram per sweep otherwise)."""
+    if isinstance(gram_t, tuple):
+        gram_all, t = gram_t
+        _, B, V, _ = gram_all.shape
+
+        def kern_sp(t_ref, gram_ref, pk_ref, *out_refs):
+            kernel(gram_ref, pk_ref, *out_refs)
+
+        def _pinned(shape):
+            rank = len(shape)
+            return pl.BlockSpec(shape, lambda g, t_ref, _r=rank: (0,) * _r)
+
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((None, B, V, B), lambda g, t_ref: (t_ref[0], 0, 0, 0)),
+                _pinned(pk_t.shape),
+            ],
+            out_specs=tuple(_pinned(o.shape) for o in outs),
+        )
+        # the (B, V, B) Gram block lands in scoped VMEM (vs operand VMEM on
+        # the sliced path), whose default 16 MB cap is far below what a
+        # V=96-144 tile needs — raise it (v5e has 128 MB VMEM/core)
+        import math
+
+        sz = 4 * B * V * B + 4 * pk_t.size + sum(
+            4 * math.prod(o.shape) for o in outs)
+        params = (
+            None if interpret else
+            pltpu.CompilerParams(vmem_limit_bytes=min(110 << 20, sz + (8 << 20)))
+        )
+        return pl.pallas_call(
+            kern_sp, out_shape=tuple(outs), grid_spec=gs, interpret=interpret,
+            compiler_params=params,
+        )(jnp.asarray(t, jnp.int32).reshape(1), gram_all.astype(F32), pk_t.astype(F32))
     return pl.pallas_call(
         kernel,
         out_shape=tuple(outs),
@@ -248,6 +293,15 @@ def _call_v(kernel, gram_t, pk_t, n_extra_out=0, interpret=False):
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
         interpret=interpret,
     )(gram_t.astype(F32), pk_t.astype(F32))
+
+
+def _call_v(kernel, gram_t, pk_t, n_extra_out=0, interpret=False):
+    B, V = _gram_dims(gram_t)
+    outs = [
+        jax.ShapeDtypeStruct((V, B), F32),  # beta
+        jax.ShapeDtypeStruct((V, B), F32),  # u
+    ] + [jax.ShapeDtypeStruct((V, B), jnp.int32)] * n_extra_out
+    return _pallas_step_call(kernel, gram_t, pk_t, outs, interpret)
 
 
 def _gauss_kernel_v(gram_ref, pk_ref, beta_ref, u_ref):
@@ -559,7 +613,7 @@ def rcpi_block_scan_v(gram_t, pk, A, K, interpret=False):
     """gram_t locus-major (B,V,B), pk (V,B,W). Returns (V,B) beta/u/delta/
     acat and (V,B,A) annot probs (written locus-major AK-expanded, re-majored
     and decimated here)."""
-    B, V, _ = gram_t.shape
+    B, V = _gram_dims(gram_t)
     pk_t = jnp.swapaxes(pk, 0, 1)  # (B, V, W)
     outs = (
         jax.ShapeDtypeStruct((V, B), F32),
@@ -568,13 +622,8 @@ def rcpi_block_scan_v(gram_t, pk, A, K, interpret=False):
         jax.ShapeDtypeStruct((V, B), jnp.int32),
         jax.ShapeDtypeStruct((B, V, A * K), F32),
     )
-    beta, u, delta, acat, aprob = pl.pallas_call(
-        _make_rcpi_kernel_v(A, K),
-        out_shape=outs,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
-        interpret=interpret,
-    )(gram_t.astype(F32), pk_t.astype(F32))
+    beta, u, delta, acat, aprob = _pallas_step_call(
+        _make_rcpi_kernel_v(A, K), gram_t, pk_t, outs, interpret)
     return beta, u, delta, acat, jnp.swapaxes(aprob, 0, 1)[:, :, ::K]
 
 
@@ -796,7 +845,7 @@ def _make_rcplus_kernel_v(A, K):
 def rcplus_block_scan_v(gram_t, pk, A, K, interpret=False):
     """gram_t locus-major (B,V,B), pk (V,B,W). Returns (V,B) beta/u/delta and
     (V,B,A) cls/bs/nz (written locus-major, re-majored here)."""
-    B, V, _ = gram_t.shape
+    B, V = _gram_dims(gram_t)
     pk_t = jnp.swapaxes(pk, 0, 1)  # (B, V, W)
     outs = (
         jax.ShapeDtypeStruct((V, B), F32),
@@ -806,12 +855,7 @@ def rcplus_block_scan_v(gram_t, pk, A, K, interpret=False):
         jax.ShapeDtypeStruct((B, V, A), F32),
         jax.ShapeDtypeStruct((B, V, A), jnp.int32),
     )
-    beta, u, delta, cls_a, bs_a, nz_a = pl.pallas_call(
-        _make_rcplus_kernel_v(A, K),
-        out_shape=outs,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
-        interpret=interpret,
-    )(gram_t.astype(F32), pk_t.astype(F32))
+    beta, u, delta, cls_a, bs_a, nz_a = _pallas_step_call(
+        _make_rcplus_kernel_v(A, K), gram_t, pk_t, outs, interpret)
     return (beta, u, delta, jnp.swapaxes(cls_a, 0, 1),
             jnp.swapaxes(bs_a, 0, 1), jnp.swapaxes(nz_a, 0, 1))

@@ -144,3 +144,23 @@ def test_vshards_auto(rng):
     plan, state = ng.assemble(spec, vshards="auto", use_pallas=True)
     assert plan.markers[0].vshards == 6
     assert state.markers[0].mt.ndim == 4
+
+
+def test_step_indexed_gram_matches_sliced(rng):
+    """V-batched scan kernels accept ((T,B,V,B) gram, t) tuples (scalar-
+    prefetch DMA of step t's block) and must equal the sliced call."""
+    import jax.numpy as jnp
+    from nextgp_tpu.ops import gibbs_kernels as gk
+
+    T, B, V, K = 2, 8, 4, 3
+    gram = jnp.asarray(rng.normal(0, 1, (T, B, V, B)).astype(np.float32))
+    pk = jnp.asarray(rng.uniform(0, 1, (V, B, 8 + 4 * K)).astype(np.float32))
+    for t in range(T):
+        ref = gk.r_block_scan_v(gram[t], pk, K, interpret=True)
+        stp = gk.r_block_scan_v((gram, t), pk, K, interpret=True)
+        for a, b in zip(ref, stp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ref = gk.gauss_block_scan_v(gram[1], pk[:, :, :8], interpret=True)
+    stp = gk.gauss_block_scan_v((gram, 1), pk[:, :, :8], interpret=True)
+    for a, b in zip(ref, stp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
