@@ -54,6 +54,15 @@ def test_pblup_formula(pblup_setup):
     plan, state = ng.assemble(spec)
     assert plan.fixed[0].k >= 2  # blocked Herds+Pen
     assert [rp.q for rp in plan.random][:2] == [40, 40]  # pedigree levels
+    # model card pairs spec terms positionally: both "Dam" rows (PED(Dam)
+    # structure A, (1|Dam) structure I) must keep their own labels, and the
+    # resolved scales match the reference's analysis table rule
+    # v*(df-2)/df (mme.jl:269-271,537-538)
+    card = ng.model_card(spec, plan, state)
+    dam_rows = [ln for ln in card.splitlines() if ln.strip().startswith("random: Dam")]
+    assert len(dam_rows) == 2
+    assert "structure A" in dam_rows[0] and "scale 45" in dam_rows[0]
+    assert "structure I" in dam_rows[1] and "scale 20" in dam_rows[1]
 
 
 def test_correlated_tuple_prior(pblup_setup):
