@@ -22,6 +22,7 @@ Config schema (all paths relative to the config file):
       "hints":     {"farm": "full_dummy"},
       "chain":     {"length": 50000, "burnin": 5000, "thin": 10, "seed": 1},
       "block_size": 512,
+      "vshards":   "auto",                       # or an int; "auto" = tuned TPU schedule
       "out_folder": "outMCMC"
     }
 """
@@ -127,6 +128,16 @@ def _spec_from_config(cfg: Dict[str, Any], base: str):
     )
 
 
+def _parse_vshards(v):
+    """Config `vshards`: "auto" (default — tuned schedule on the TPU kernel
+    path, sequential V=1 elsewhere) or an explicit integer."""
+    if isinstance(v, str):
+        if v.lower() == "auto":
+            return "auto"
+        return int(v)
+    return int(v)
+
+
 def cmd_run(args) -> int:
     from .runtime import run_lmem
 
@@ -146,7 +157,7 @@ def cmd_run(args) -> int:
         seed=int(ch.get("seed", 0)),
         keep_in_memory=False,
         progress=not args.quiet,
-        vshards=int(cfg.get("vshards", 1)),
+        vshards=_parse_vshards(cfg.get("vshards", "auto")),
         checkpoint_every=int(ch.get("checkpoint_every", 0)),
         resume=args.resume,
     )

@@ -311,6 +311,20 @@ def _pack_eligible(g) -> bool:
     return g.dtype == np.int8 and g.min() >= 0 and g.max() <= 3
 
 
+def _auto_vshards(nb: int) -> int:
+    """Tuned production V for an nb-block marker set on the TPU kernel path:
+    the overall max divisor of nb up to 144, with sublane alignment only as
+    a tie-break among near-max candidates (>= max/2). Preferring any %8
+    divisor outright mis-tunes nb = 8*prime (e.g. nb=232: V=8 instead of
+    V=116 -> 14x longer sequential chain per sweep)."""
+    cands = [v for v in range(1, min(nb, 144) + 1) if nb % v == 0]
+    top = max(cands)
+    near = [v for v in cands if 2 * v >= top]
+    pref = ([v for v in near if v % 8 == 0]
+            or [v for v in near if v % 2 == 0] or near)
+    return max(pref)
+
+
 def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=False,
                   vshards=1, pack=None):
     from ..ops import pack2
@@ -354,13 +368,7 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
         # on v5e at 50k x 590-599k: V=144 81.3 ms, V=180 83.7, V=96-ish
         # schedule 87.3, V=117 (odd) 111.3). CPU/golden runs keep the
         # reference-sequential order.
-        if use_pallas:
-            cands = [v for v in range(1, min(nb, 144) + 1) if nb % v == 0]
-            pref = ([v for v in cands if v % 8 == 0]
-                    or [v for v in cands if v % 2 == 0] or cands)
-            vshards = max(pref)
-        else:
-            vshards = 1
+        vshards = _auto_vshards(nb) if use_pallas else 1
     vsh = (
         max(v for v in range(1, int(vshards) + 1) if nb % v == 0)
         if vshards and vshards > 1
@@ -732,7 +740,9 @@ def assemble(
     then differs from the V=1 reference-sequential order, so golden tests
     keep V=1; posterior moments are unaffected. "auto" picks the tuned
     production value on the TPU kernel path (largest divisor of the block
-    count up to 96) and 1 elsewhere.
+    count up to 144, sublane-aligned among near-max candidates; measured
+    on v5e at 50k x 590k: V=144 81.3 ms/sweep vs V=180 83.7, odd V=117
+    111.3) and 1 elsewhere.
 
     pack2: None -> auto (2-bit planar genotype storage whenever the TPU
     kernel path is on and dosages are 0..3); True forces it (errors on

@@ -32,20 +32,38 @@ def _beta_vec(beta, p):
 
 
 def genomic_values(md: MarkerData, beta, chunk: int = 8192) -> np.ndarray:
-    """Training-panel genomic values g = (M - center) @ beta, (nInd,) f64."""
+    """Training-panel genomic values g = (M - center) @ beta, (nInd,) f64.
+
+    Accumulation is host float64 regardless of where the panel lives:
+    device-resident chunks are materialized via np.asarray before the
+    shift/mask matmul (jax would otherwise run the contraction in f32)."""
     b = _beta_vec(beta, md.n_snp)
     offset = float(np.dot(np.asarray(md.center, np.float64), b))
+    g = md.genotypes
+    if getattr(g, "is_deleted", None) and g.is_deleted():
+        raise ValueError(
+            "marker panel buffer was donated: from_packed device panels are "
+            "consumed by assemble's storage relayout. For a train-then-serve "
+            "flow keep a host copy (from_packed(np.asarray(pk), ...)) or call "
+            "genomic_values before assemble."
+        )
     if not md.packed:
-        return md.genotypes.astype(np.float64) @ b - offset
+        # chunk over individuals so a device-resident panel transfers in
+        # bounded pieces and math stays host f64
+        n = md.n_ind
+        out = np.empty(n, np.float64)
+        for i0 in range(0, n, chunk):
+            out[i0:i0 + chunk] = np.asarray(g[i0:i0 + chunk]).astype(np.float64) @ b
+        return out - offset
     # packed rows: accumulate beta-weighted planar sums chunk-by-chunk
-    pk = md.genotypes  # (p, q) uint8
+    pk = g  # (p, q) uint8
     q = pk.shape[1]
     acc = np.zeros(4 * q, np.float64)
     for i0 in range(0, pk.shape[0], chunk):
-        blk = pk[i0:i0 + chunk].astype(np.int32)
+        blk = np.asarray(pk[i0:i0 + chunk]).astype(np.int32)
         bb = b[i0:i0 + chunk]
         for k in range(4):
-            acc[k * q:(k + 1) * q] += ((blk >> (2 * k)) & 3).T @ bb
+            acc[k * q:(k + 1) * q] += ((blk >> (2 * k)) & 3).T.astype(np.float64) @ bb
     return acc[: md.n_ind] - offset
 
 

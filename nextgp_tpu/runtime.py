@@ -74,9 +74,15 @@ def model_card(spec: ModelSpec, plan: SweepPlan, state=None) -> str:
             return ""
         try:
             s = np.asarray(getattr(state, container)[i].scale)
-        except (AttributeError, IndexError, TypeError):
+            if s.ndim == 0:
+                return f", scale {float(s):g}"
+            flat = s.ravel()
+            if flat.size <= 6:
+                return ", scale [" + ", ".join(f"{float(x):g}" for x in flat) + "]"
+            head = ", ".join(f"{float(x):g}" for x in flat[:3])
+            return f", scale [{head}, ...] ({flat.size} regions)"
+        except (AttributeError, IndexError, TypeError, ValueError):
             return ""
-        return f", scale {s:g}" if s.ndim == 0 else f", scale {s.tolist()}"
 
     lines = [f"Model: n = {plan.n} observations, dtype {plan.dtype}"]
     res = spec.residual
@@ -165,14 +171,18 @@ def run_lmem(
     dtype=None,
     keep_in_memory: bool = True,
     progress: bool = False,
-    vshards=1,
+    vshards="auto",
     checkpoint_every: int = 0,
     resume: bool = False,
 ) -> LMEMResult:
     """Single-chain MCMC mirroring runLMEM (MCMC.jl:31-41).
 
     Kept iterations are `(n_burn + n_thin) : n_thin : n_chain`
-    (samplers.jl:26).
+    (samplers.jl:26) — honored exactly for any (n_burn, n_thin), including
+    `n_burn % n_thin != 0` (remainder burn sweeps run before the kept loop).
+
+    vshards defaults to "auto": the tuned multi-block-chain schedule on the
+    TPU kernel path, reference-sequential V=1 on CPU (see `assemble`).
 
     checkpoint_every=k writes `<out_folder>/chain.ckpt` every k kept samples
     (atomic, exact-resume: counter-based keys re-derive all randomness from
@@ -217,14 +227,20 @@ def run_lmem(
     )
     draws: Dict[str, list] = {}
 
-    # burn-in: run in thin-sized hops with the same compiled runner
-    n_burn_hops = n_burn // n_thin
-    n_keep = (n_chain - n_burn_hops * n_thin) // n_thin
-    done_hops = done_sweeps // n_thin
+    # burn-in: thin-sized hops with the same compiled runner, plus a
+    # remainder runner when n_burn % n_thin != 0 so the kept set equals
+    # the reference rule (burn+thin):thin:chain for every input
+    # (samplers.jl:26)
+    n_keep = (n_chain - n_burn) // n_thin
+    burn_rem = n_burn % n_thin
     t0 = time.perf_counter()
-    for _ in range(max(0, n_burn_hops - done_hops)):
-        state, _ = runner(state, key)
-    for k in range(max(0, done_hops - n_burn_hops), n_keep):
+    if done_sweeps < n_burn:
+        for _ in range((n_burn - done_sweeps) // n_thin):
+            state, _ = runner(state, key)
+        left = (n_burn - done_sweeps) % n_thin
+        if left:
+            state, _ = make_chain_runner(plan, left)(state, key)
+    for k in range(max(0, done_sweeps - n_burn) // n_thin, n_keep):
         state, sample = runner(state, key)
         if writer:
             writer.put(sample)
@@ -242,7 +258,7 @@ def run_lmem(
             print(f"  kept {k + 1}/{n_keep}")
     jax.block_until_ready(state.ycorr)
     dt = time.perf_counter() - t0
-    ran_sweeps = (n_burn_hops + n_keep) * n_thin - done_sweeps
+    ran_sweeps = n_burn + n_keep * n_thin - done_sweeps
     if writer:
         writer.close()
     return LMEMResult(
@@ -272,7 +288,7 @@ def run_chains(
     mesh=None,
     track=("varE",),
     out_folder: Optional[str] = None,
-    vshards=1,
+    vshards="auto",
     checkpoint_every: int = 0,
     resume: bool = False,
     progress: bool = False,
@@ -341,13 +357,16 @@ def run_chains(
             for c in range(n_chains)
         ]
 
-    n_burn_hops = n_burn // n_thin
-    n_keep = (n_chain - n_burn_hops * n_thin) // n_thin
-    done_hops = done_sweeps // n_thin
+    n_keep = (n_chain - n_burn) // n_thin
     draws: Dict[str, list] = {}
-    for _ in range(max(0, n_burn_hops - done_hops)):
-        batched = step(batched, keys)
-    for k in range(max(0, done_hops - n_burn_hops), n_keep):
+    if done_sweeps < n_burn:
+        for _ in range((n_burn - done_sweeps) // n_thin):
+            batched = step(batched, keys)
+        left = (n_burn - done_sweeps) % n_thin
+        if left:  # remainder burn sweeps: exact reference kept set
+            batched = sharded.make_sharded_sweep(plan, mesh, n_sweeps=left)(
+                batched)(batched, keys)
+    for k in range(max(0, done_sweeps - n_burn) // n_thin, n_keep):
         batched = step(batched, keys)
         sample = _collect_batched(batched, plan)
         names = list(sample.keys()) if track == "all" else [

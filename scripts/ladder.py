@@ -21,10 +21,10 @@ def main():
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ladder_results.jsonl")
     for spec in shapes:
-        parts = [int(t) for t in spec.split("x")]
-        n, p = parts[0], parts[1]
-        v = parts[2] if len(parts) > 2 else 96
-        sweeps = parts[3] if len(parts) > 3 else 30
+        parts = spec.split("x")
+        n, p = int(parts[0]), int(parts[1])
+        v = parts[2] if len(parts) > 2 else "auto"
+        sweeps = int(parts[3]) if len(parts) > 3 else 30
         os.environ["NG_BENCH_N"] = str(n)
         os.environ["NG_BENCH_P"] = str(p)
         os.environ["NG_BENCH_VSHARDS"] = str(v)
@@ -32,12 +32,14 @@ def main():
         os.environ.setdefault("NG_BENCH_SMOKE", "0")
         print(f"=== {n} x {p} V={v} sweeps={sweeps} ===", flush=True)
         try:
-            bench.main()
+            record = bench.main()
         except Exception as exc:  # keep the session; move to the next shape
             print(f"# shape {spec} failed: {exc!r}", file=sys.stderr, flush=True)
             continue
+        # full parsed result per shape: the README ladder table is
+        # regenerable from this file without re-running on the chip
         with open(out_path, "a") as fh:
-            fh.write(json.dumps({"shape": spec}) + "\n")
+            fh.write(json.dumps({"shape": spec, **(record or {})}) + "\n")
 
 
 if __name__ == "__main__":

@@ -126,20 +126,30 @@ def main():
     run_case("pack2, no pallas scan kernel", plan, state)
     gibbs_kernels.r_block_scan_v = orig_scan
 
-    # pack2 with the gather ablated (constant r0): scatter + scan + tail
+    # pack2 with the gather ablated (constant r0): scatter + scan + tail.
+    # The TPU packed sweep routes through the step-indexed variants
+    # (markers.py matvec_step/rank_update_step), so BOTH the sliced and
+    # step-indexed entry points are patched — patching only the sliced one
+    # silently measures the unablated program.
     from nextgp_tpu.ops import pack2 as p2
-    orig_mv = p2.matvec
+    orig_mv, orig_mvs = p2.matvec, p2.matvec_step
     p2.matvec = lambda pk, y4, interpret=False: jnp.zeros((pk.shape[0], 1), F32)[:, 0] + y4[0, 0]
+    p2.matvec_step = (
+        lambda pk_all, t, y4, rows, interpret=False:
+            jnp.zeros((rows, 1), F32)[:, 0] + y4[0, 0])
     plan, state = build(n, p, block, vshards, pack2=True)
     run_case("pack2, no gather", plan, state)
-    p2.matvec = orig_mv
+    p2.matvec, p2.matvec_step = orig_mv, orig_mvs
 
     # pack2 with the scatter ablated: gather + scan + tail
-    orig_ru = p2.rank_update
+    orig_ru, orig_rus = p2.rank_update, p2.rank_update_step
     p2.rank_update = lambda pk, u, interpret=False: jnp.zeros((8, pk.shape[1]), F32) + u[0]
+    p2.rank_update_step = (
+        lambda pk_all, t, u, interpret=False:
+            jnp.zeros((8, pk_all.shape[1]), F32) + u[0])
     plan, state = build(n, p, block, vshards, pack2=True)
     run_case("pack2, no scatter", plan, state)
-    p2.rank_update = orig_ru
+    p2.rank_update, p2.rank_update_step = orig_ru, orig_rus
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ def test_cli_run_and_summary(tmp_path, rng, capsys):
         },
         "chain": {"length": 60, "burnin": 20, "thin": 10, "seed": 2},
         "block_size": 16,
+        "vshards": "auto",  # production default; must not crash (cli.py)
         "out_folder": "out",
     }
     cfg_path = tmp_path / "analysis.json"
@@ -46,6 +47,13 @@ def test_cli_run_and_summary(tmp_path, rng, capsys):
     rc = cli.main(["roofline", str(cfg_path)])
     assert rc == 0
     assert "roofline" in capsys.readouterr().out
+
+
+def test_cli_vshards_parsing():
+    assert cli._parse_vshards("auto") == "auto"
+    assert cli._parse_vshards("Auto") == "auto"
+    assert cli._parse_vshards("8") == 8
+    assert cli._parse_vshards(8) == 8
 
 
 def test_cli_prior_errors(tmp_path):

@@ -174,3 +174,39 @@ def test_model_card_and_lv_formula(rng):
     card = ng.model_card(spec, plan)
     assert "BayesLV" in card and "default BayesPR" in card
     assert f"n = {n}" in card and "residual: Random('I', 100.0)" in card
+
+
+@pytest.mark.parametrize("n_chain,n_burn,n_thin", [(23, 5, 3), (20, 7, 4), (16, 3, 2)])
+def test_burnin_not_divisible_by_thin(rng, n_chain, n_burn, n_thin):
+    """Kept iterations must equal the reference rule
+    (burn+thin):thin:chain (samplers.jl:26) even when n_burn % n_thin != 0:
+    remainder burn sweeps run before the kept loop, so the k-th kept draw is
+    sweep n_burn + (k+1)*n_thin — verified against a manual sweep-by-sweep
+    chain from the same counter-based keys."""
+    import jax
+
+    from nextgp_tpu.engine.sweep import collect_sample, make_sweep
+
+    g, y, herd, beta, gc = _data(rng, n=60, p=32)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(len(y)))],
+        markers=[ng.MarkerTerm("M1", ng.from_array(g), ng.BayesC(0.2, 0.05))],
+        block_size=16,
+    )
+    res = run_lmem(spec, n_chain=n_chain, n_burn=n_burn, n_thin=n_thin,
+                   out_folder=None, seed=7)
+    kept = [s for s in range(n_burn + n_thin, n_chain + 1, n_thin)]
+    assert res.draws["varE"].shape[0] == len(kept)
+    assert int(np.asarray(res.state.sweep_index)) == kept[-1]
+
+    plan, state = ng.assemble(spec)
+    sweep = jax.jit(make_sweep(plan))
+    key = jax.random.key(7)
+    manual = []
+    for s in range(1, kept[-1] + 1):
+        state = sweep(state, key)
+        if s in kept:
+            manual.append(float(collect_sample(state, plan)["varE"]))
+    np.testing.assert_allclose(
+        np.asarray(res.draws["varE"]).ravel(), np.asarray(manual), rtol=1e-6)
