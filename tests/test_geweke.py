@@ -108,3 +108,131 @@ def test_geweke_joint(model):
     z2 = zstat(g2_m, g2_s)
     assert abs(z1) < 4.0, f"Geweke z (sum beta) = {z1:.2f}"
     assert abs(z2) < 4.0, f"Geweke z (sum beta^2) = {z2:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# Geweke coverage of the MIXTURE machinery (VERDICT r3 missing #2): BayesC
+# and BayesR with variance and pi draws LIVE. The marginal-conditional side
+# draws (var_e, var_beta, pi, delta, beta) from the exact prior the engine's
+# conditionals imply (functions.jl:197-289, 523-538):
+#   var_e    ~ df_e*scale_e / chi2(df_e)            df_e = 4 (mme.jl:87)
+#   var_beta ~ df_m*scale_m / chi2(df_m)            df_m = 4, scale = v/2
+#   pi       ~ Beta(1,1) / Dirichlet(1,...,1)       (posterior forms :531-538)
+#   delta_j | pi  ~ Bernoulli / Categorical
+#   beta_j | delta, var_beta ~ N(0, var_beta [* class_v])
+#   y | beta, var_e ~ N(Mc beta, var_e I)
+# The successive-conditional side alternates the engine's FULL sweep
+# (variances and pi redrawn) with a likelihood refresh. Test functions use
+# log-variances (df=4 scaled-inv-chi2 has infinite variance; its log does
+# not) plus inclusion counts, pi, and sum(beta) (t_4 marginal: finite var).
+# ---------------------------------------------------------------------------
+
+E_V = 1.0          # residual prior Random("I", 1.0)
+E_DF, E_SCALE = 4.0, E_V * (4.0 - 2.0) / 4.0
+M_V = 0.05
+M_DF, M_SCALE = 4.0, M_V * (4.0 - 2.0) / 4.0
+R_CLASS = np.array([0.0, 0.01, 0.1, 1.0])
+N_SUCC = 1500
+
+
+def _mix_model(method):
+    r = np.random.default_rng(202)
+    g = r.integers(0, 3, (N_IND, N_SNP)).astype(float)
+    y0 = r.normal(0, 1, N_IND)
+    if method == "BayesC":
+        prior = ng.BayesC(0.5, M_V, estimatePi=True)
+    else:
+        prior = ng.BayesR([0.4, 0.3, 0.2, 0.1], R_CLASS, M_V, estimatePi=True)
+    spec = ng.ModelSpec(
+        y=y0,
+        residual=ng.Random("I", E_V),
+        markers=[ng.MarkerTerm("M", ng.from_array(g), prior)],
+        block_size=8,
+    )
+    plan, state = ng.assemble(spec, use_pallas=False)
+    gc = np.asarray(state.markers[0].mt[0]).T.astype(float) - np.asarray(
+        state.markers[0].center.reshape(-1)
+    )
+    return plan, state, gc[:, :N_SNP]
+
+
+def _zstat(a, b):
+    def se2(x):
+        x = x - x.mean()
+        n = len(x)
+        var = x.var()
+        for lag in range(1, min(50, n // 4)):
+            c = np.dot(x[:-lag], x[lag:]) / n
+            if c <= 0:
+                break
+            var += 2 * c
+        return var / n
+
+    return (a.mean() - b.mean()) / np.sqrt(a.var() / len(a) + se2(b))
+
+
+@pytest.mark.parametrize("method", ["BayesC", "BayesR"])
+def test_geweke_mixture_joint(method):
+    plan, state0, gc = _mix_model(method)
+    sweep = jax.jit(ng.make_sweep(plan))
+    r = np.random.default_rng(99)
+    p, K = N_SNP, len(R_CLASS)
+
+    # ---- marginal-conditional: exact prior draws
+    nm = 8000
+    var_e_m = E_DF * E_SCALE / r.chisquare(E_DF, nm)
+    var_b_m = M_DF * M_SCALE / r.chisquare(M_DF, nm)
+    if method == "BayesC":
+        pi_m = r.uniform(0.0, 1.0, nm)               # Beta(1,1)
+        delta_m = (r.uniform(size=(nm, p)) < pi_m[:, None]).astype(float)
+        beta_m = np.where(
+            delta_m > 0, r.normal(0, 1, (nm, p)) * np.sqrt(var_b_m)[:, None], 0.0
+        )
+        nin_m = delta_m.sum(1)
+        pi_track_m = pi_m
+    else:
+        pi_full = r.dirichlet(np.ones(K), nm)        # Dirichlet(1,..,1)
+        u = r.uniform(size=(nm, p))
+        cls = (u[:, :, None] > np.cumsum(pi_full, 1)[:, None, :]).sum(2)
+        vclass = R_CLASS[cls]
+        beta_m = np.where(
+            vclass > 0, r.normal(0, 1, (nm, p)) * np.sqrt(var_b_m[:, None] * vclass), 0.0
+        )
+        nin_m = (vclass > 0).sum(1)
+        pi_track_m = pi_full[:, 0]
+    g_m = {
+        "sum_beta": beta_m.sum(1),
+        "n_in": nin_m,
+        "log_var_e": np.log(var_e_m),
+        "log_var_b": np.log(var_b_m),
+        "pi": pi_track_m,
+    }
+
+    # ---- successive-conditional: full engine sweep + likelihood refresh
+    st = state0
+    key = jax.random.key(1)
+    g_s = {k: [] for k in g_m}
+    for it in range(N_SUCC + 100):
+        beta = np.asarray(st.markers[0].beta[:p])
+        var_e = float(np.asarray(st.e.var_e))
+        y = gc @ beta + r.normal(0, np.sqrt(var_e), N_IND)
+        st = _set_y(st, y)
+        st = sweep(st, key)
+        if it < 100:  # burn-in
+            continue
+        ms = st.markers[0]
+        b = np.asarray(ms.beta[:p])
+        delta = np.asarray(ms.delta[:p])
+        g_s["sum_beta"].append(b.sum())
+        g_s["n_in"].append(
+            float((delta == 1).sum()) if method == "BayesC"
+            else float((R_CLASS[delta - 1] > 0).sum())
+        )
+        g_s["log_var_e"].append(np.log(float(np.asarray(st.e.var_e))))
+        g_s["log_var_b"].append(np.log(float(np.asarray(ms.var_beta[0]))))
+        pi_hat = np.asarray(ms.pi_hat)
+        g_s["pi"].append(float(pi_hat[1]) if method == "BayesC" else float(pi_hat[0]))
+
+    for name in g_m:
+        z = _zstat(np.asarray(g_m[name]), np.asarray(g_s[name]))
+        assert abs(z) < 4.0, f"Geweke z ({method} {name}) = {z:.2f}"
