@@ -115,6 +115,16 @@ def _interpret_pallas() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _gram_raw_diag(ms):
+    """Raw per-locus m'm (diag of gram_raw) in global flat locus order —
+    the weighted BC kernels' rrr restore adjustment (functions.jl:168)."""
+    g = ms.gram_raw
+    if g.ndim == 3:  # (nb, B, B)
+        return jnp.diagonal(g, axis1=1, axis2=2).reshape(-1)
+    d = jnp.diagonal(g, axis1=1, axis2=3)  # (T, B, V, B) -> (T, V, B)
+    return jnp.swapaxes(d, 0, 1).reshape(-1)  # global block g = v*T + t
+
+
 def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
                    scan_impl=None, vshards=1, scan_impl_v=None):
     """Outer scan over (local) marker blocks; carries the replicated ycorr.
@@ -266,7 +276,6 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
     # array via a scalar-prefetch index (no per-step slice copy). The
     # pure-JAX vscan fallback still needs actual slices.
     gram_step = step_kern and scan_impl_v is not None
-    assert not (gram_step and use_raw), "weighted raw path is JAX-only"
 
     def block_body(ycorr, xs):
         mtb, cb, gram_t, graw_t, beta_old_b, lxs = xs
@@ -276,6 +285,8 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
             mtf = mtb.reshape(V * B, ncol) if packed else mtb.astype(dtype).reshape(V * B, ncol)
         if gram_step:
             gram_t = (ms.gram, mtb)
+            if use_raw:  # weighted: raw Gram stream step-indexed identically
+                graw_t = (graw, mtb)
         if d_inv is not None:
             yw = d_inv * ycorr
             r0 = gather(mtf, yw).reshape(V, B) - cb * jnp.sum(yw)
@@ -403,23 +414,42 @@ def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool, ctx):
         return bnew, (inc & maskj)
 
     scan_impl = scan_impl_v = None
-    if mp.use_pallas and d_inv is None:  # weighted rrr path stays in JAX
+    if mp.use_pallas:
         interp = _interpret_pallas()
+        weighted = d_inv is not None
         pk = gibbs_kernels.bc_block_pack(
             ms.beta, z, unif, vb_locus, ivb_locus,
             ms.mpm.reshape(-1), ms.lhs_ss.reshape(-1), ms.rhs_ss.reshape(-1),
-            ms.mask.reshape(-1), ive, var_e, lp0, lp1, common)
+            ms.mask.reshape(-1), ive, var_e, lp0, lp1, common,
+            mpm_raw=_gram_raw_diag(ms) if weighted else None)
         lxs = (pk.reshape(nb_l, mp.block, -1),)
 
-        def scan_impl(gramb, grawb, r0, r0r, bold, lx):
-            pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
-            beta_new, u, delta = gibbs_kernels.bc_block_scan(gramb, pk_b, interpret=interp)
-            return u.astype(dtype), beta_new.astype(dtype), delta > 0
+        if weighted:
+            # weighted "D": weighted Gram drives rhs, raw Gram drives the
+            # indicator's rrr (functions.jl:168; mme.jl:71-75)
+            def scan_impl(gramb, grawb, r0, r0r, bold, lx):
+                pk_b = (lx[0].at[:, 0].add(r0.astype(jnp.float32))
+                        .at[:, 7].add(r0r.astype(jnp.float32)))
+                beta_new, u, delta = gibbs_kernels.bc_block_scan_w(
+                    gramb, grawb, pk_b, interpret=interp)
+                return u.astype(dtype), beta_new.astype(dtype), delta > 0
 
-        def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
-            pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
-            beta_new, u, delta = gibbs_kernels.bc_block_scan_v(gramb, pk_b, interpret=interp)
-            return u.astype(dtype), beta_new.astype(dtype), delta > 0
+            def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
+                pk_b = (lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
+                        .at[:, :, 7].add(r0r.astype(jnp.float32)))
+                beta_new, u, delta = gibbs_kernels.bc_block_scan_wv(
+                    gramb, grawb, pk_b, interpret=interp)
+                return u.astype(dtype), beta_new.astype(dtype), delta > 0
+        else:
+            def scan_impl(gramb, grawb, r0, r0r, bold, lx):
+                pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
+                beta_new, u, delta = gibbs_kernels.bc_block_scan(gramb, pk_b, interpret=interp)
+                return u.astype(dtype), beta_new.astype(dtype), delta > 0
+
+            def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
+                pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
+                beta_new, u, delta = gibbs_kernels.bc_block_scan_v(gramb, pk_b, interpret=interp)
+                return u.astype(dtype), beta_new.astype(dtype), delta > 0
 
     ycorr, beta, inc = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, True, ctx,
                                       scan_impl=scan_impl, vshards=mp.vshards,

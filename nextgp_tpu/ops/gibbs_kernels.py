@@ -132,9 +132,15 @@ def _bc_kernel(gram_ref, pk_ref, beta_ref, u_ref, delta_ref):
 
 @functools.partial(jax.jit, static_argnames=("common",))
 def bc_block_pack(beta_old, z, unif, vb, ivb, mpm, lss, rss, mask, ive, var_e,
-                  lp0, lp1, common):
+                  lp0, lp1, common, mpm_raw=None):
     """BayesB/C coefficients. The indicator u < 1/(1+exp(ld0-ld1)) becomes
-    q0 + q1*rrr^2 < log((1-u)/u) (functions.jl:171-173, exact algebra)."""
+    q0 + q1*rrr^2 < log((1-u)/u) (functions.jl:171-173, exact algebra).
+
+    mpm_raw (weighted "D" models only): the raw per-locus m'm diagonal —
+    slot 7 then carries the RAW restore adjustment, and the weighted
+    kernels track a second raw projection for the indicator's rrr
+    (functions.jl:168: rrr is the unweighted dot even when mpm is
+    weighted)."""
     mpm_safe = jnp.where(mask, mpm, 1.0)
     v0 = mpm_safe * var_e
     v1 = mpm_safe * mpm_safe * vb + v0
@@ -147,11 +153,53 @@ def bc_block_pack(beta_old, z, unif, vb, ivb, mpm, lss, rss, mask, ive, var_e,
     b = ive * invlhs
     rss_eff = 0.0 if common else rss  # BayesC omits rhs_ss (functions.jl:219)
     c = rss_eff * invlhs + z * jnp.sqrt(invlhs)
-    return _pack(mpm * beta_old, beta_old, q0, q1, w, b, c)
+    cols = (mpm * beta_old, beta_old, q0, q1, w, b, c)
+    if mpm_raw is not None:
+        cols = cols + (mpm_raw * beta_old,)
+    return _pack(*cols)
 
 
 def bc_block_scan(gram, pk_b, interpret=False):
     beta, u, delta = _call(_bc_kernel, gram, pk_b, 1, interpret)
+    return beta[:, 0], u[0], delta[:, 0]
+
+
+def _bc_kernel_w(gram_ref, graw_ref, pk_ref, beta_ref, u_ref, delta_ref):
+    """Weighted BayesB/C: the weighted Gram drives rhs (pre), the raw Gram
+    drives the indicator's rrr (pre_raw) — mme.jl:71-75, functions.jl:168."""
+    B = u_ref.shape[1]
+    lane = _lane_iota(B)
+
+    def body(j, u):
+        s = pk_ref[pl.ds(j, 1), :][0]
+        row = gram_ref[pl.ds(j, 1), :]
+        rowr = graw_ref[pl.ds(j, 1), :]
+        pre = s[0] + jnp.sum(row * u)
+        prer = s[7] + jnp.sum(rowr * u)
+        inc = s[2] + s[3] * prer * prer < s[4]
+        bnew = jnp.where(inc, s[6] + s[5] * pre, 0.0)
+        beta_ref[pl.ds(j, 1), 0] = bnew[None]
+        delta_ref[pl.ds(j, 1), 0] = inc.astype(jnp.int32)[None]
+        return jnp.where(lane == j, s[1] - bnew, u)
+
+    u = jax.lax.fori_loop(0, B, body, jnp.zeros((1, B), F32))
+    u_ref[:, :] = u
+
+
+def bc_block_scan_w(gram, graw, pk_b, interpret=False):
+    B = gram.shape[0]
+    outs = (
+        jax.ShapeDtypeStruct((B, 1), F32),
+        jax.ShapeDtypeStruct((1, B), F32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    )
+    beta, u, delta = pl.pallas_call(
+        _bc_kernel_w,
+        out_shape=outs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
+        interpret=interpret,
+    )(gram.astype(F32), graw.astype(F32), pk_b.astype(F32))
     return beta[:, 0], u[0], delta[:, 0]
 
 
@@ -242,7 +290,7 @@ def _gram_dims(gram_t):
     return shape[0], shape[1]
 
 
-def _pallas_step_call(kernel, gram_t, pk_t, outs, interpret):
+def _pallas_step_call(kernel, gram_t, pk_t, outs, interpret, gram2_t=None):
     """Invoke a V-batched scan kernel.
 
     gram_t is either the per-step locus-major (B, V, B) Gram block
@@ -250,13 +298,20 @@ def _pallas_step_call(kernel, gram_t, pk_t, outs, interpret):
     (gram_all (T, B, V, B), t): then the kernel's BlockSpec DMAs step t's
     block straight out of the full Gram array via a scalar-prefetch index,
     so the caller's scan never materializes a per-step Gram slice (an
-    extra read+write pass over the whole Gram per sweep otherwise)."""
+    extra read+write pass over the whole Gram per sweep otherwise).
+
+    gram2_t (weighted "D" models): a second Gram stream — the raw
+    Mc'Mc alongside the weighted Mc'D Mc — given the identical treatment;
+    the kernel then takes (gram_ref, graw_ref, pk_ref, *outs)."""
+    grams = [gram_t] if gram2_t is None else [gram_t, gram2_t]
     if isinstance(gram_t, tuple):
         gram_all, t = gram_t
         _, B, V, _ = gram_all.shape
+        gram_arrs = [g[0] if isinstance(g, tuple) else g for g in grams]
+        ng = len(gram_arrs)
 
-        def kern_sp(t_ref, gram_ref, pk_ref, *out_refs):
-            kernel(gram_ref, pk_ref, *out_refs)
+        def kern_sp(t_ref, *refs):
+            kernel(*refs)
 
         def _pinned(shape):
             rank = len(shape)
@@ -266,17 +321,17 @@ def _pallas_step_call(kernel, gram_t, pk_t, outs, interpret):
             num_scalar_prefetch=1,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec((None, B, V, B), lambda g, t_ref: (t_ref[0], 0, 0, 0)),
-                _pinned(pk_t.shape),
-            ],
+                pl.BlockSpec((None, B, V, B), lambda g, t_ref: (t_ref[0], 0, 0, 0))
+                for _ in range(ng)
+            ] + [_pinned(pk_t.shape)],
             out_specs=tuple(_pinned(o.shape) for o in outs),
         )
-        # the (B, V, B) Gram block lands in scoped VMEM (vs operand VMEM on
-        # the sliced path), whose default 16 MB cap is far below what a
+        # the (B, V, B) Gram block(s) land in scoped VMEM (vs operand VMEM
+        # on the sliced path), whose default 16 MB cap is far below what a
         # V=96-144 tile needs — raise it (v5e has 128 MB VMEM/core)
         import math
 
-        sz = 4 * B * V * B + 4 * pk_t.size + sum(
+        sz = ng * 4 * B * V * B + 4 * pk_t.size + sum(
             4 * math.prod(o.shape) for o in outs)
         params = (
             None if interpret else
@@ -285,14 +340,15 @@ def _pallas_step_call(kernel, gram_t, pk_t, outs, interpret):
         return pl.pallas_call(
             kern_sp, out_shape=tuple(outs), grid_spec=gs, interpret=interpret,
             compiler_params=params,
-        )(jnp.asarray(t, jnp.int32).reshape(1), gram_all.astype(F32), pk_t.astype(F32))
+        )(jnp.asarray(t, jnp.int32).reshape(1),
+          *[g.astype(F32) for g in gram_arrs], pk_t.astype(F32))
     return pl.pallas_call(
         kernel,
         out_shape=tuple(outs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(grams) + 1),
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in outs),
         interpret=interpret,
-    )(gram_t.astype(F32), pk_t.astype(F32))
+    )(*[g.astype(F32) for g in grams], pk_t.astype(F32))
 
 
 def _call_v(kernel, gram_t, pk_t, n_extra_out=0, interpret=False):
@@ -362,6 +418,50 @@ def _bc_kernel_v(gram_ref, pk_ref, beta_ref, u_ref, delta_ref):
 def bc_block_scan_v(gram_t, pk, interpret=False):
     pk_t = jnp.swapaxes(pk, 0, 1)
     beta, u, delta = _call_v(_bc_kernel_v, gram_t, pk_t, 1, interpret)
+    return beta, u, delta
+
+
+def _bc_kernel_wv(gram_ref, graw_ref, pk_ref, beta_ref, u_ref, delta_ref):
+    """V-batched weighted BayesB/C (see _bc_kernel_w)."""
+    V, B = u_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (V, B), 1)
+
+    def body(j, carry):
+        u, beta, delta = carry
+        s = pk_ref[pl.ds(j, 1), :, :][0]  # (V, W)
+        row = gram_ref[pl.ds(j, 1), :, :][0]
+        rowr = graw_ref[pl.ds(j, 1), :, :][0]
+        pre = s[:, 0] + jnp.sum(row * u, axis=-1)
+        prer = s[:, 7] + jnp.sum(rowr * u, axis=-1)
+        inc = s[:, 2] + s[:, 3] * prer * prer < s[:, 4]
+        bnew = jnp.where(inc, s[:, 6] + s[:, 5] * pre, 0.0)
+        sel = lane == j
+        u = jnp.where(sel, (s[:, 1] - bnew)[:, None], u)
+        beta = jnp.where(sel, bnew[:, None], beta)
+        delta = jnp.where(sel, inc.astype(jnp.int32)[:, None], delta)
+        return u, beta, delta
+
+    u, beta, delta = jax.lax.fori_loop(
+        0, B, body,
+        (jnp.zeros((V, B), F32), jnp.zeros((V, B), F32), jnp.zeros((V, B), jnp.int32)),
+    )
+    beta_ref[:, :] = beta
+    u_ref[:, :] = u
+    delta_ref[:, :] = delta
+
+
+def bc_block_scan_wv(gram_t, graw_t, pk, interpret=False):
+    """Weighted V-batched BayesB/C: both Gram streams (weighted + raw) are
+    per-step (B, V, B) blocks or ((T, B, V, B), t) step-indexed tuples."""
+    pk_t = jnp.swapaxes(pk, 0, 1)
+    B, V = _gram_dims(gram_t)
+    outs = [
+        jax.ShapeDtypeStruct((V, B), F32),
+        jax.ShapeDtypeStruct((V, B), F32),
+        jax.ShapeDtypeStruct((V, B), jnp.int32),
+    ]
+    beta, u, delta = _pallas_step_call(
+        _bc_kernel_wv, gram_t, pk_t, outs, interpret, gram2_t=graw_t)
     return beta, u, delta
 
 

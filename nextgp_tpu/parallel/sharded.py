@@ -30,6 +30,7 @@ from ..engine import rng
 from ..engine.plan import SweepPlan
 from ..engine.sharding import ShardCtx
 from ..engine.state import (
+    CorrMarkerState,
     CorrRandomState,
     FixedState,
     MarkerState,
@@ -39,7 +40,7 @@ from ..engine.state import (
     SparseRandomState,
 )
 from ..engine.samplers.fixed import sample_fixed_block
-from ..engine.samplers.markers import sample_marker_set
+from ..engine.samplers.markers import sample_corr_marker_set, sample_marker_set
 from ..engine.samplers.random_effects import (
     sample_random_cg,
     sample_random_corr,
@@ -60,6 +61,7 @@ _CHAIN_FIELDS = {
     CorrRandomState: ("u", "var_u"),
     MarkerState: ("beta", "delta", "var_beta", "log_pi", "pi_hat", "annot_prob",
                   "annot_cat", "log_var", "lv_c", "lv_resid", "var_zeta"),
+    CorrMarkerState: ("beta", "var_beta"),
 }
 # MarkerState fields sharded along their leading (block or locus) axis
 _SHARD_STATIC = ("mt", "center", "gram", "gram_raw", "mpm", "lhs_ss", "rhs_ss",
@@ -123,6 +125,24 @@ def _simple_specs(obj, cls):
     return cls(**{f.name: spec(f.name, getattr(obj, f.name)) for f in dataclasses.fields(cls)})
 
 
+def _corr_specs(cs: CorrMarkerState) -> CorrMarkerState:
+    """Corr marker sets shard along the block/locus axis like plain sets:
+    device s owns contiguous blocks [s*nb/S, (s+1)*nb/S); the residual is
+    replicated and corrections psum at block-step boundaries (the sampler
+    is ctx-driven already, markers.py:sample_corr_marker_set)."""
+    return CorrMarkerState(
+        mt=P(SHARDS, None, None, None),
+        center=P(SHARDS, None, None),
+        gram=P(SHARDS, None, None, None, None),
+        mpm=P(SHARDS, None, None, None),
+        mask=P(SHARDS, None),
+        region_id=P(SHARDS),
+        beta=P(CHAINS, SHARDS, None),
+        var_beta=P(CHAINS, None, None, None),
+        scale=P(None, None),
+    )
+
+
 def state_specs(plan: SweepPlan, batched: ModelState) -> ModelState:
     return ModelState(
         y=P(None),
@@ -135,6 +155,7 @@ def state_specs(plan: SweepPlan, batched: ModelState) -> ModelState:
         ),
         markers=tuple(_marker_specs(ms, mp) for ms, mp in zip(batched.markers, plan.markers)),
         sweep_index=P(CHAINS),
+        corr_markers=tuple(_corr_specs(cs) for cs in batched.corr_markers),
     )
 
 
@@ -166,6 +187,7 @@ def batch_state(plan: SweepPlan, state: ModelState, n_chains: int) -> ModelState
         ),
         markers=tuple(go(ms, MarkerState) for ms in state.markers),
         sweep_index=_tile(state.sweep_index, C),
+        corr_markers=tuple(go(cs, CorrMarkerState) for cs in state.corr_markers),
     )
 
 
@@ -190,6 +212,7 @@ def _squeeze_chain(batched: ModelState, plan) -> ModelState:
         ),
         markers=tuple(go(ms, MarkerState) for ms in batched.markers),
         sweep_index=batched.sweep_index[0],
+        corr_markers=tuple(go(cs, CorrMarkerState) for cs in batched.corr_markers),
     )
 
 
@@ -214,6 +237,7 @@ def _unsqueeze_chain(state: ModelState, plan) -> ModelState:
         ),
         markers=tuple(go(ms, MarkerState) for ms in state.markers),
         sweep_index=state.sweep_index[None],
+        corr_markers=tuple(go(cs, CorrMarkerState) for cs in state.corr_markers),
     )
 
 
@@ -249,6 +273,11 @@ def _sweep_local(plan: SweepPlan, state: ModelState, chain_key, ctx: ShardCtx) -
         k = rng.stage_key(skey, rng.STAGE_MARKER, i)
         ms, ycorr = sample_marker_set(k, ms, mp, ycorr, var_e, state.e.d_inv, ctx)
         markers.append(ms)
+    corr_markers = []
+    for i, (cs, cp) in enumerate(zip(state.corr_markers, plan.corr_markers)):
+        k = rng.stage_key(skey, rng.STAGE_MARKER, len(plan.markers) + i)
+        cs, ycorr = sample_corr_marker_set(k, cs, cp, ycorr, var_e, ctx)
+        corr_markers.append(cs)
     return replace(
         state,
         ycorr=ycorr,
@@ -257,12 +286,18 @@ def _sweep_local(plan: SweepPlan, state: ModelState, chain_key, ctx: ShardCtx) -
         random=tuple(random),
         markers=tuple(markers),
         sweep_index=state.sweep_index + 1,
+        corr_markers=tuple(corr_markers),
     )
 
 
 def _check_shardable(plan: SweepPlan, n_shards: int) -> None:
-    if plan.corr_markers:
-        raise NotImplementedError("correlated marker sets are single-device for now")
+    for cp in plan.corr_markers:
+        if cp.n_blocks % n_shards:
+            raise ValueError(
+                f"correlated marker set {'+'.join(cp.names)}: n_blocks="
+                f"{cp.n_blocks} is not divisible by n_shards={n_shards}; "
+                f"pick a block size so nb % S == 0"
+            )
     for mp in plan.markers:
         if mp.vshards > 1:
             if mp.vshards % n_shards:

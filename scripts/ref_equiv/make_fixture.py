@@ -44,7 +44,23 @@ def main():
         fh.write("beta\n")
         for v in beta:
             fh.write(f"{v:.17g}\n")
+    write_extras(rng, fx, qtl)
     print(f"fixture written: {N} x {P}, h2={h2}, varE={ve:.3f}")
+
+
+def write_extras(rng, fx, qtl):
+    """Per-method extras: annotation matrix (BayesRCpi/RCplus) and a
+    variance-model covariate (BayesLV). Deterministic; committed."""
+    # 3 annotation classes; every SNP in class 1, QTL enriched in class 2
+    annot = np.zeros((P, 3), np.int64)
+    annot[:, 0] = 1
+    annot[qtl, 1] = 1
+    extra = rng.choice(P, P // 10, replace=False)
+    annot[extra, 2] = 1
+    np.savetxt(os.path.join(fx, "annot.txt"), annot, fmt="%d")
+    # one standard-normal variance-model covariate per SNP
+    cov = rng.normal(0.0, 1.0, P)
+    np.savetxt(os.path.join(fx, "lv_cov.txt"), cov, fmt="%.17g")
 
 
 if __name__ == "__main__":

@@ -2,28 +2,52 @@
 # and record posterior-mean marker effects for the equivalence check.
 #
 # Usage (where Julia + NextGP are installed):
-#   julia scripts/ref_equiv/ref_equiv.jl [chain] [burn] [thin]
-# Writes scripts/ref_equiv/ref_out/beta_mean.csv (one value per SNP).
+#   julia scripts/ref_equiv/ref_equiv.jl [method] [chain] [burn] [thin]
+# method in {BayesPR, BayesB, BayesC, BayesR, BayesRCpi, BayesRCplus, BayesLV}
+# Writes scripts/ref_equiv/ref_out/<method>/beta_mean.csv (one value per SNP).
 #
-# Model: intercept + one whole-genome BayesPR region (the BWGR docs setup,
-# /root/reference/docs/src/BWGR/BWGR.md:19-58) with default priors.
+# Priors MUST stay in sync with PRIORS in run.py (same fixture, same model:
+# intercept + one marker set + Random("I", 1.0) residual).
 using CSV, DataFrames, StatsModels, NextGP, DelimitedFiles
 
 here = @__DIR__
-chain = length(ARGS) >= 1 ? parse(Int, ARGS[1]) : 20000
-burn  = length(ARGS) >= 2 ? parse(Int, ARGS[2]) : 5000
-thin  = length(ARGS) >= 3 ? parse(Int, ARGS[3]) : 10
+method = length(ARGS) >= 1 ? ARGS[1] : "BayesPR"
+chain = length(ARGS) >= 2 ? parse(Int, ARGS[2]) : 20000
+burn  = length(ARGS) >= 3 ? parse(Int, ARGS[3]) : 5000
+thin  = length(ARGS) >= 4 ? parse(Int, ARGS[4]) : 10
 
 pheno = CSV.read(joinpath(here, "fixture", "pheno.csv"), DataFrame)
 genopath = joinpath(here, "fixture", "genotypes.txt")
+annot = readdlm(joinpath(here, "fixture", "annot.txt"))
+lvcov = vec(readdlm(joinpath(here, "fixture", "lv_cov.txt")))
 
 f = @formula(y ~ 1 + SNP("M", genopath))
-priorVar = Dict(:M => BayesPR(9999, 0.05), :e => Random("I", 1.0))
 
-out = joinpath(here, "ref_out_run")
+prior = if method == "BayesPR"
+    BayesPR(9999, 0.05)
+elseif method == "BayesB"
+    BayesB(0.1, 0.05; estimatePi=true)
+elseif method == "BayesC"
+    BayesC(0.1, 0.05; estimatePi=true)
+elseif method == "BayesR"
+    BayesR([0.9, 0.05, 0.03, 0.02], [0.0, 1e-4, 1e-3, 1e-2], 1.0; estimatePi=true)
+elseif method == "BayesRCpi"
+    BayesRCπ([0.9, 0.05, 0.05], [0.0, 1e-3, 1e-2], 1.0, annot; estimatePi=true)
+elseif method == "BayesRCplus"
+    BayesRCplus([0.9, 0.05, 0.05], [0.0, 1e-3, 1e-2], 1.0, annot; estimatePi=true)
+elseif method == "BayesLV"
+    covdf = DataFrame(x = lvcov)
+    BayesLV(0.05, @formula(v ~ 1 + x), covdf, 0.1; estimateVarZeta=false)
+else
+    error("unknown method $method")
+end
+
+priorVar = Dict(:M => prior, :e => Random("I", 1.0))
+
+out = joinpath(here, "ref_out_run", method)
 runLMEM(f, pheno, chain, burn, thin; VCV=priorVar, outFolder=out)
 
 beta = summaryMCMC("betaM"; outFolder=out)
-mkpath(joinpath(here, "ref_out"))
-writedlm(joinpath(here, "ref_out", "beta_mean.csv"), vec(Matrix(beta)))
-println("reference posterior means written to ref_out/beta_mean.csv")
+mkpath(joinpath(here, "ref_out", method))
+writedlm(joinpath(here, "ref_out", method, "beta_mean.csv"), vec(Matrix(beta)))
+println("reference posterior means written to ref_out/$method/beta_mean.csv")

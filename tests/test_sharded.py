@@ -317,3 +317,90 @@ def test_sharded_posterior_agrees_statistically(rng):
     m1 = run(1)
     m8 = run(8)
     assert np.corrcoef(gc @ m1, gc @ m8)[0, 1] > 0.98
+
+
+def _corr_model(rng, n=60, p=32, block=8):
+    from nextgp_tpu.api.spec import CorrMarkerTerm
+
+    g1 = rng.integers(0, 3, (n, p)).astype(float)
+    g2 = rng.integers(0, 3, (n, p)).astype(float)
+    y = (1.0
+         + (g1 - g1.mean(0)) @ rng.normal(0, 0.15, p)
+         + (g2 - g2.mean(0)) @ rng.normal(0, 0.1, p)
+         + rng.normal(0, 1, n))
+    v = np.array([[0.02, 0.005], [0.005, 0.015]])
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        corr_markers=[CorrMarkerTerm(
+            ("M1", "M2"), (ng.from_array(g1), ng.from_array(g2)),
+            ng.BayesPR(9999, v))],
+        block_size=block,
+    )
+    return ng.assemble(spec), (g1, g2), y
+
+
+def test_corr_markers_one_shard_bitwise_equals_engine(rng):
+    """Correlated marker sets on the device mesh (VERDICT r3 weak #4):
+    S=1 sharded must reproduce the single-device chain."""
+    (plan, state), _, _ = _corr_model(rng)
+    key = jax.random.key(5)
+    sweep = jax.jit(ng.make_sweep(plan))
+    s1 = state
+    for _ in range(3):
+        s1 = sweep(s1, key)
+    mesh = sharded.make_mesh(1, 1, devices=jax.devices()[:1])
+    b = sharded.distribute(plan, state, mesh, 1)
+    f = sharded.make_sharded_sweep(plan, mesh, n_sweeps=3)(b)
+    r = f(b, key[None])
+    np.testing.assert_allclose(
+        np.asarray(r.corr_markers[0].beta[0]),
+        np.asarray(s1.corr_markers[0].beta), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(r.ycorr[0]), np.asarray(s1.ycorr), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(r.corr_markers[0].var_beta[0]),
+        np.asarray(s1.corr_markers[0].var_beta), rtol=1e-10)
+
+
+def test_corr_markers_two_shards_consistent(rng):
+    """S=2 corr schedule: exact residual identity ycorr = y - Xb - sum_t
+    Mc_t beta_t (any mis-psum'd correction breaks it), determinism, and
+    posterior beta agreement with the single-device chain."""
+    (plan, state), (g1, g2), y = _corr_model(rng)
+    cp = plan.corr_markers[0]
+    mesh = sharded.make_mesh(1, 2, devices=jax.devices()[:2])
+    b = sharded.distribute(plan, state, mesh, 1)
+    key = jax.random.key(7)
+    step = sharded.make_sharded_sweep(plan, mesh, n_sweeps=20)(b)
+    out = step(b, key[None])
+    out2 = sharded.make_sharded_sweep(plan, mesh, n_sweeps=20)(b)(b, key[None])
+
+    beta = np.asarray(out.corr_markers[0].beta[0])[: cp.p]
+    gc1 = g1 - g1.mean(0)
+    gc2 = g2 - g2.mean(0)
+    recon = y - np.asarray(out.fixed[0].b[0])[0] - gc1 @ beta[:, 0] - gc2 @ beta[:, 1]
+    assert np.abs(np.asarray(out.ycorr[0]) - recon).max() < 1e-8
+    # determinism: same key -> same chain
+    np.testing.assert_array_equal(
+        np.asarray(out.corr_markers[0].beta), np.asarray(out2.corr_markers[0].beta))
+
+    # statistical agreement with the single-device posterior (schedule
+    # changes the per-draw chain, not the stationary distribution)
+    sweep = jax.jit(ng.make_sweep(plan))
+    step1 = sharded.make_sharded_sweep(plan, mesh, n_sweeps=1)(b)
+    s1 = state
+    acc1 = np.zeros_like(beta)
+    accS = np.zeros_like(beta)
+    bb = b
+    kept = 0
+    for it in range(120):
+        s1 = sweep(s1, jax.random.fold_in(key, it))
+        bb = step1(bb, jax.random.fold_in(key, it)[None])
+        if it >= 40:
+            kept += 1
+            acc1 += np.asarray(s1.corr_markers[0].beta)[: cp.p]
+            accS += np.asarray(bb.corr_markers[0].beta[0])[: cp.p]
+    ebv1 = gc1 @ acc1[:, 0] + gc2 @ acc1[:, 1]
+    ebvS = gc1 @ accS[:, 0] + gc2 @ accS[:, 1]
+    assert np.corrcoef(ebv1, ebvS)[0, 1] > 0.95

@@ -194,3 +194,31 @@ def test_step_indexed_gram_matches_sliced(rng):
     stp = gk.gauss_block_scan_v((gram, 1), pk[:, :, :8], interpret=True)
     for a, b in zip(ref, stp):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("method", ["BayesPR", "BayesB", "BayesC"])
+@pytest.mark.parametrize("vsh", [1, 3])
+def test_weighted_pallas_matches_pure_jax(rng, method, vsh):
+    """Weighted-residual ("D", mme.jl:71-75) models on the kernel path:
+    the BC kernels thread the raw Gram as a second stream for the
+    indicator's rrr (functions.jl:168); must match the pure-JAX weighted
+    scan from shared streams at V=1 and V>1."""
+    spec, _, _ = _spec(rng, method=method)
+    import dataclasses
+    spec = dataclasses.replace(
+        spec, residual=ng.Random(rng.uniform(0.5, 2.0, len(spec.y)), 1.0))
+    _, st_jax = _run(spec, n_sweeps=10, vshards=vsh, use_pallas=False)
+    _, st_pal = _run(spec, n_sweeps=10, vshards=vsh, use_pallas=True)
+    np.testing.assert_allclose(
+        np.asarray(st_jax.markers[0].beta),
+        np.asarray(st_pal.markers[0].beta),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_jax.ycorr), np.asarray(st_pal.ycorr), atol=1e-5
+    )
+    if method in ("BayesB", "BayesC"):
+        assert np.array_equal(
+            np.asarray(st_jax.markers[0].delta),
+            np.asarray(st_pal.markers[0].delta),
+        )
