@@ -85,22 +85,47 @@ def unpack2(pk, dtype=F32):
 # ------------------------------------------------------------------ kernels
 
 
-def _matvec_kernel(pk_ref, y4_ref, out_ref):
-    qi = pl.program_id(1)
-    pk = pk_ref[:].astype(jnp.int32)
-    acc = (pk & 3).astype(F32) * y4_ref[0:1, :]
-    acc += ((pk >> 2) & 3).astype(F32) * y4_ref[1:2, :]
-    acc += ((pk >> 4) & 3).astype(F32) * y4_ref[2:3, :]
-    acc += ((pk >> 6) & 3).astype(F32) * y4_ref[3:4, :]
-    partial = jnp.sum(acc, axis=1, keepdims=True)
+def _make_matvec_kernel(impl: str):
+    def _matvec_kernel(pk_ref, y4_ref, out_ref):
+        qi = pl.program_id(1)
+        pk = pk_ref[:].astype(jnp.int32)
+        if impl == "vpu":
+            acc = (pk & 3).astype(F32) * y4_ref[0:1, :]
+            acc += ((pk >> 2) & 3).astype(F32) * y4_ref[1:2, :]
+            acc += ((pk >> 4) & 3).astype(F32) * y4_ref[2:3, :]
+            acc += ((pk >> 6) & 3).astype(F32) * y4_ref[3:4, :]
+            partial = jnp.sum(acc, axis=1, keepdims=True)
+        else:
+            # MXU variant (VERDICT r4 experiment): in-register unpack to a
+            # plane then (rt, qt) @ (qt, 1) dot_general on the MXU. The
+            # per-plane matvec uses one MXU output column; wins only if the
+            # VPU multiply+reduce is the bottleneck, measured by
+            # scripts/micro_frontier.py.
+            prec = (jax.lax.Precision.HIGHEST if impl == "mxu_hi"
+                    else jax.lax.Precision.DEFAULT)
+            parts = [
+                jax.lax.dot_general(
+                    ((pk >> (2 * k)) & 3).astype(F32),
+                    jnp.transpose(y4_ref[k:k + 1, :]),
+                    (((1,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=F32)
+                for k in range(4)
+            ]
+            partial = parts[0] + parts[1] + parts[2] + parts[3]
 
-    @pl.when(qi == 0)
-    def _():
-        out_ref[:] = partial
+        @pl.when(qi == 0)
+        def _():
+            out_ref[:] = partial
 
-    @pl.when(qi != 0)
-    def _():
-        out_ref[:] += partial
+        @pl.when(qi != 0)
+        def _():
+            out_ref[:] += partial
+
+    return _matvec_kernel
+
+
+_MATVEC_IMPL = __import__("os").environ.get("NG_PACK2_MATVEC", "vpu")
+_matvec_kernel = _make_matvec_kernel(_MATVEC_IMPL)
 
 
 def _tile_sizes(R, q):

@@ -50,10 +50,18 @@ def main():
         "BayesRCplus": ng.BayesRCplus([0.9, 0.05, 0.05], [0.0, 1e-3, 1e-2], 1.0, annot),
         "BayesLV": ng.BayesLV(0.01, lvcov, 0.01),
     }
+    # weighted-residual ("D") rows: the same samplers with heteroscedastic
+    # weights — exercises the two-Gram weighted kernel path (VERDICT r3 #5)
+    weights = rng.uniform(0.5, 2.0, n)
+    cases = {name: (prior, None) for name, prior in priors.items()}
+    for name in ("BayesC", "BayesPR"):
+        cases[f"{name}+D"] = (priors[name], ng.Random(weights, 1.0))
+
     base = None
-    for name, prior in priors.items():
+    for name, (prior, residual) in cases.items():
         spec = ng.ModelSpec(
             y=y,
+            residual=residual,
             fixed=[ng.FixedTerm("int", np.ones(n))],
             markers=[ng.MarkerTerm("M1", from_device_array(g_dev), prior)],
             block_size=256,
@@ -78,7 +86,7 @@ def main():
         if base is None:
             base = dt
         print(f"{name:12s}: {dt*1e3:7.2f} ms/sweep ({1.0/dt:6.1f} sweeps/s, "
-              f"{dt/base:4.2f}x {list(priors)[0]})", flush=True)
+              f"{dt/base:4.2f}x {list(cases)[0]})", flush=True)
 
 
 main()
