@@ -129,12 +129,37 @@ _matvec_kernel = _make_matvec_kernel(_MATVEC_IMPL)
 
 
 def _tile_sizes(R, q):
-    rt = R if R <= 512 else 512
+    """Scatter/rank tiles: the sublane-reducing rank kernel wants LONG
+    NARROW tiles — measured at 36,864 x 12,544 (scripts/micro_frontier.py,
+    ladder_results.jsonl 2026-08-21): (2048, 256) 32.6 ms/pass vs (512, 256)
+    39.9 and (512, 1792) 55.7. Wide lanes make the sublane reduction the
+    bottleneck; long rows amortize the per-tile reduce."""
+    rt = R if R <= 2048 else 2048
     while R % rt:
         rt //= 2
-    qt = 2048
+    qt = 256
     while q % qt:
         qt //= 2
+    return rt, qt
+
+
+def _tile_sizes_mv(R, q):
+    """Gather/matvec tiles: the lane-reducing matvec kernel wants LARGE
+    tiles — the old halving rule collapses to qt=256 when q = 2^8*49
+    (n=50k), costing 30% of the pass (42.1 -> 31.9 ms at (1024, 1792);
+    scripts/micro_frontier.py). Pick the largest lane-aligned DIVISOR of q
+    up to 2048 and a row tile up to 1024."""
+    rt = R if R <= 1024 else 1024
+    while R % rt:
+        rt //= 2
+    qt = max(
+        (d for d in range(128, min(q, 2048) + 1, 128) if q % d == 0),
+        default=None,
+    )
+    if qt is None:  # q < 128 never happens via packed_q; halve defensively
+        qt = 2048
+        while q % qt:
+            qt //= 2
     return rt, qt
 
 
@@ -143,7 +168,7 @@ def matvec(pk, y4, interpret=False):
     """r0 = unpack(pk) @ y4planar. pk (R, q) uint8, y4 (8, q) f32 with rows
     0..3 = residual.reshape(4, q) (rows 4..7 ignored). Returns (R,) f32."""
     R, q = pk.shape
-    rt, qt = _tile_sizes(R, q)
+    rt, qt = _tile_sizes_mv(R, q)
     out = pl.pallas_call(
         _matvec_kernel,
         grid=(R // rt, q // qt),
@@ -250,7 +275,7 @@ def matvec_step(pk_all, t, y4, rows, interpret=False):
     `matvec`. Equals matvec(pk_all[t*rows:(t+1)*rows], y4) without
     materializing the step slice."""
     _, q = pk_all.shape
-    rt, qt = _tile_sizes(rows, q)
+    rt, qt = _tile_sizes_mv(rows, q)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(rows // rt, q // qt),

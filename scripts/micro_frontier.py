@@ -59,9 +59,10 @@ def _step_specs(rows, q, rt, qt, out_block, grid_rowmajor):
     return grid, pk_spec
 
 
-def make_dma_step(rows, q):
+def make_dma_step(rows, q, rt=None, qt=None):
     """Read-only pass over step t's rows: per-row byte sum (no unpack)."""
-    rt, qt = _tile_sizes(rows, q)
+    if rt is None:
+        rt, qt = _tile_sizes(rows, q)
     grid, pk_spec = _step_specs(rows, q, rt, qt, None, True)
 
     def kernel(t_ref, pk_ref, out_ref):
@@ -91,8 +92,9 @@ def make_dma_step(rows, q):
     return call
 
 
-def make_gather_step(impl, rows, q):
-    rt, qt = _tile_sizes(rows, q)
+def make_gather_step(impl, rows, q, rt=None, qt=None):
+    if rt is None:
+        rt, qt = _tile_sizes(rows, q)
     grid, pk_spec = _step_specs(rows, q, rt, qt, None, True)
     base = _make_matvec_kernel(impl)
 
@@ -114,8 +116,9 @@ def make_gather_step(impl, rows, q):
     return call
 
 
-def make_scatter_step(impl, rows, q):
-    rt, qt = _tile_sizes(rows, q)
+def make_scatter_step(impl, rows, q, rt=None, qt=None):
+    if rt is None:
+        rt, qt = _tile_sizes(rows, q)
     grid, pk_spec = _step_specs(rows, q, rt, qt, None, False)
     base = _make_rank_kernel(impl)
 
@@ -137,6 +140,12 @@ def make_scatter_step(impl, rows, q):
     return call
 
 
+def _divisor_tiles(q, cap=8192):
+    """Lane-aligned divisors of q up to cap, largest first."""
+    out = [d for d in range(128, min(q, cap) + 1, 128) if q % d == 0]
+    return sorted(out, reverse=True)
+
+
 def main():
     rows = int(os.environ.get("MF_ROWS", 36864))
     q = int(os.environ.get("MF_Q", pack2.packed_q(50000)))
@@ -144,6 +153,8 @@ def main():
     gb = T * rows * q / 1e9
     print(f"panel: T={T} x rows={rows} x q={q} ({gb:.2f} GB packed; "
           f"one pass per case)", flush=True)
+    print(f"default _tile_sizes -> {_tile_sizes(rows, q)}; "
+          f"divisor tiles of q: {_divisor_tiles(q)}", flush=True)
 
     key = jax.random.key(0)
     pk_all = jax.jit(
@@ -162,12 +173,17 @@ def main():
             acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(T))
             return acc
 
-        t = timeit(full_pass, pk_all, *extra)
+        try:
+            t = timeit(full_pass, pk_all, *extra)
+        except Exception as exc:
+            print(f"{name:28s}: FAILED {type(exc).__name__}: {str(exc)[:120]}",
+                  flush=True)
+            results[name] = None
+            return None
         results[name] = t
-        print(f"{name:22s}: {t * 1e3:7.2f} ms/pass  {gb / t:6.1f} GB/s", flush=True)
+        print(f"{name:28s}: {t * 1e3:7.2f} ms/pass  {gb / t:6.1f} GB/s",
+              flush=True)
         return t
-
-    scan_case("dma-only", make_dma_step(rows, q))
 
     # correctness anchor on a small row slice (full unpack would be 30 GB)
     anchor = 512
@@ -175,32 +191,67 @@ def main():
     ref_mv = np.asarray(pack2.unpack2(pk_s, F32) @ y4[:4].reshape(-1))
     ref_ru = np.asarray(u[:anchor] @ pack2.unpack2(pk_s, F32))
 
-    for impl in ("vpu", "mxu", "mxu_hi"):
-        g_call = make_gather_step(impl, rows, q)
-        out = np.asarray(g_call(pk_all, 0, y4))[:anchor, 0]
-        err = np.abs(out - ref_mv).max() / (np.abs(ref_mv).max() + 1e-9)
-        scan_case(f"gather_{impl}", g_call, y4)
-        print(f"    relerr={err:.2e}", flush=True)
+    # tile-size sweep: the production _tile_sizes halves qt from 2048, which
+    # collapses to qt=256 when q = 2^8 * 49 (n=50k) — measure the real
+    # divisor ladder for the DMA floor and both passes
+    tiles = _divisor_tiles(q)[:3]
+    for qt in tiles:
+        for rt in (512, 1024):
+            if rows % rt:
+                continue
+            scan_case(f"dma rt={rt} qt={qt}", make_dma_step(rows, q, rt, qt))
 
-    for impl in ("vpu", "mxu", "mxu_hi"):
-        s_call = make_scatter_step(impl, rows, q)
-        out_full = np.asarray(s_call(pk_all, 0, u.at[anchor:].set(0.0)))
-        out = out_full[:4].reshape(-1)
-        err = np.abs(out - ref_ru).max() / (np.abs(ref_ru).max() + 1e-9)
-        scan_case(f"scatter_{impl}", s_call, u)
-        print(f"    relerr={err:.2e}", flush=True)
+    best = {}
+    for qt in tiles:
+        for rt in (512, 1024):
+            if rows % rt:
+                continue
+            g_call = make_gather_step("vpu", rows, q, rt, qt)
+            try:
+                out = np.asarray(g_call(pk_all, 0, y4))[:anchor, 0]
+                err = np.abs(out - ref_mv).max() / (np.abs(ref_mv).max() + 1e-9)
+            except Exception as exc:
+                print(f"gather_vpu rt={rt} qt={qt}: anchor FAILED "
+                      f"{str(exc)[:100]}", flush=True)
+                continue
+            t = scan_case(f"gather_vpu rt={rt} qt={qt}", g_call, y4)
+            if t and err < 1e-4 and t < best.get("gather", (1e9,))[0]:
+                best["gather"] = (t, rt, qt)
+    for qt in tiles:
+        for rt in (512, 1024):
+            if rows % rt:
+                continue
+            s_call = make_scatter_step("vpu", rows, q, rt, qt)
+            try:
+                np.asarray(s_call(pk_all, 0, u))  # compile/run check
+            except Exception as exc:
+                print(f"scatter_vpu rt={rt} qt={qt}: FAILED "
+                      f"{str(exc)[:100]}", flush=True)
+                continue
+            t = scan_case(f"scatter_vpu rt={rt} qt={qt}", s_call, u)
+            if t and t < best.get("scatter", (1e9,))[0]:
+                best["scatter"] = (t, rt, qt)
 
-    best_g = min(results[f"gather_{i}"] for i in ("vpu", "mxu", "mxu_hi"))
-    best_s = min(results[f"scatter_{i}"] for i in ("vpu", "mxu", "mxu_hi"))
-    floor = best_g + best_s
-    print(f"\nimplied sweep floor (best gather + best scatter): "
-          f"{floor * 1e3:.1f} ms ({1.0 / floor:.1f} sweeps/s); "
-          f"2x dma-only = {2 * results['dma-only'] * 1e3:.1f} ms", flush=True)
+    # MXU variants at the default tiles (experiment record; may not compile)
+    rt0, qt0 = _tile_sizes(rows, q)
+    for impl in ("mxu", "mxu_hi"):
+        g_call = make_gather_step(impl, rows, q, rt0, qt0)
+        scan_case(f"gather_{impl} rt={rt0} qt={qt0}", g_call, y4)
+        s_call = make_scatter_step(impl, rows, q, rt0, qt0)
+        scan_case(f"scatter_{impl} rt={rt0} qt={qt0}", s_call, u)
+
+    if "gather" in best and "scatter" in best:
+        floor = best["gather"][0] + best["scatter"][0]
+        print(f"\nbest gather {best['gather']}, best scatter {best['scatter']}"
+              f"\nimplied sweep floor: {floor * 1e3:.1f} ms "
+              f"({1.0 / floor:.1f} sweeps/s)", flush=True)
 
     rec = {"experiment": "micro_frontier", "rows": rows, "q": q, "T": T,
            "date": __import__("datetime").date.today().isoformat(),
-           **{k: round(v * 1e3, 2) for k, v in results.items()},
-           "implied_floor_ms": round(floor * 1e3, 1)}
+           **{k: (round(v * 1e3, 2) if v else None) for k, v in results.items()}}
+    if "gather" in best and "scatter" in best:
+        rec["best_gather"] = best["gather"][1:] + (round(best["gather"][0] * 1e3, 2),)
+        rec["best_scatter"] = best["scatter"][1:] + (round(best["scatter"][0] * 1e3, 2),)
     with open(os.path.join(HERE, "ladder_results.jsonl"), "a") as fh:
         fh.write(json.dumps(rec) + "\n")
 

