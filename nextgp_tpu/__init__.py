@@ -38,6 +38,6 @@ from .engine.sweep import make_sweep  # noqa: F401
 from .io.summary import ess_bulk, posterior_stats, split_rhat, summary_mcmc  # noqa: F401
 from .grn.sampler import est_grn  # noqa: F401
 from .runtime import LMEMResult, model_card, prep, run_chains, run_lmem  # noqa: F401
-from .predict import genomic_values, predict  # noqa: F401
+from .predict import genomic_values, genomic_values_state, predict  # noqa: F401
 
 __version__ = "0.1.0"

@@ -251,3 +251,53 @@ def test_genomic_values_packed_matches_dense(rng):
         ng.genomic_values(md_dense, beta[:-1])
     with pytest.raises(ValueError, match="must be"):
         ng.predict(md_dense, beta, g_new[:, :-1])
+
+
+def test_tile_size_selectors():
+    """Per-kernel tile rules (measured micro_frontier 2026-08-21): gather
+    wants the largest lane-aligned divisor of q <= 2048 (the old halving
+    rule collapsed to 256 at q = 2^8*49); scatter wants long narrow tiles."""
+    from nextgp_tpu.ops.pack2 import _tile_sizes, _tile_sizes_mv
+
+    # n=50k -> q=12544 = 2^8 * 49: divisor ladder, not halving
+    assert _tile_sizes_mv(36864, 12544) == (1024, 1792)
+    assert _tile_sizes(36864, 12544) == (2048, 256)
+    # n=10k -> q=2560 = 2^9 * 5
+    assert _tile_sizes_mv(24576, 2560) == (1024, 1280)
+    assert _tile_sizes(24576, 2560) == (2048, 256)
+    # power-of-two q keeps full 2048 lanes on the gather
+    assert _tile_sizes_mv(4096, 4096) == (1024, 2048)
+    # tiny shapes stay valid (divide exactly)
+    for R, q in [(8, 128), (24, 256), (96, 384)]:
+        for f in (_tile_sizes, _tile_sizes_mv):
+            rt, qt = f(R, q)
+            assert R % rt == 0 and q % qt == 0
+
+
+@pytest.mark.parametrize("packed,vsh", [(True, 1), (True, 3), (False, 1), (False, 3)])
+def test_genomic_values_state_matches_dense(rng, packed, vsh):
+    """genomic_values_state serves EBVs straight off the assembled HBM
+    storage (packed or int8, plain or vshard layout) and must equal the
+    dense centered Mc @ beta for both the live draw and an explicit beta."""
+    n, p = 90, 96
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    center = g.mean(0)
+    y = rng.normal(0, 1, n)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), ng.BayesPR(9999, 0.05))],
+        block_size=16,
+    )
+    plan, state = ng.assemble(spec, pack2=packed, vshards=vsh)
+    sweep = jax.jit(ng.make_sweep(plan))
+    for _ in range(3):
+        state = sweep(state, jax.random.key(2))
+    beta_live = np.asarray(state.markers[0].beta[: p])
+    ref = (g - center[None, :]) @ beta_live
+    got = np.asarray(ng.genomic_values_state(plan, state))
+    np.testing.assert_allclose(got, ref, atol=1e-5)  # f32 accumulation
+    bext = rng.normal(0, 0.1, p)
+    np.testing.assert_allclose(
+        np.asarray(ng.genomic_values_state(plan, state, beta=bext)),
+        (g - center[None, :]) @ bext, atol=1e-5)
