@@ -369,6 +369,16 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
         # schedule 87.3, V=117 (odd) 111.3). CPU/golden runs keep the
         # reference-sequential order.
         vshards = _auto_vshards(nb) if use_pallas else 1
+        if use_pallas and d_inv is not None and method in (METHOD_B, METHOD_C):
+            # weighted B/C thread TWO (B, V, B) Gram streams through the
+            # kernel; XLA's scoped-vmem budget (~65 MB) rejects V=96 at
+            # B=256 (73 MB demand measured). Cap the auto V so the twin
+            # grams stay ~40 MB; explicit vshards values are honored as
+            # given (a too-large request fails loudly at compile).
+            cap = max(1, (40 << 20) // (8 * block * block))
+            if vshards > cap:
+                cands = [v for v in range(1, min(nb, cap) + 1) if nb % v == 0]
+                vshards = max(cands) if cands else 1
     vsh = (
         max(v for v in range(1, int(vshards) + 1) if nb % v == 0)
         if vshards and vshards > 1

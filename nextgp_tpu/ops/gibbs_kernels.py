@@ -331,11 +331,15 @@ def _pallas_step_call(kernel, gram_t, pk_t, outs, interpret, gram2_t=None):
         # V=96-144 tile needs — raise it (v5e has 128 MB VMEM/core)
         import math
 
+        # slack covers double-buffered Gram DMA windows: the weighted
+        # two-stream kernel at V=96 B=256 peaks ~1.5x the operand bytes
+        # (XLA reported 73.35 MiB scoped demand on 49 MiB of operands)
         sz = ng * 4 * B * V * B + 4 * pk_t.size + sum(
             4 * math.prod(o.shape) for o in outs)
         params = (
             None if interpret else
-            pltpu.CompilerParams(vmem_limit_bytes=min(110 << 20, sz + (8 << 20)))
+            pltpu.CompilerParams(
+                vmem_limit_bytes=min(110 << 20, sz + max(24 << 20, sz)))
         )
         return pl.pallas_call(
             kern_sp, out_shape=tuple(outs), grid_spec=gs, interpret=interpret,

@@ -66,7 +66,10 @@ def main():
             markers=[ng.MarkerTerm("M1", from_device_array(g_dev), prior)],
             block_size=256,
         )
-        plan, state = ng.assemble(spec, vshards=v)
+        # +D rows resolve V via "auto" (the weighted B/C two-Gram kernels
+        # cap V for scoped-VMEM, engine/plan.py); plain rows keep BM_V
+        plan, state = ng.assemble(
+            spec, vshards="auto" if residual is not None else v)
         sweep = ng.make_sweep(plan)
 
         def multi(st, key):

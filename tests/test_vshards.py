@@ -222,3 +222,29 @@ def test_weighted_pallas_matches_pure_jax(rng, method, vsh):
             np.asarray(st_jax.markers[0].delta),
             np.asarray(st_pal.markers[0].delta),
         )
+
+
+def test_auto_vshards_weighted_bc_cap(rng):
+    """Weighted B/C auto-V caps so the twin (B, V, B) Gram streams fit the
+    scoped-VMEM budget (compile-verified on chip: V=96/B=256 fails at 73 MB,
+    V=64 runs); unweighted and non-BC methods keep the full auto V."""
+    import dataclasses
+
+    n, p, block = 40, 49152, 256  # nb = 192
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = rng.normal(0, 1, n)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), ng.BayesC(0.1, 0.05))],
+        block_size=block,
+    )
+    plan, _ = ng.assemble(spec, vshards="auto", use_pallas=True)
+    assert plan.markers[0].vshards == 96  # unweighted: full auto
+    spec_w = dataclasses.replace(spec, residual=ng.Random(rng.uniform(0.5, 2.0, n), 1.0))
+    plan_w, _ = ng.assemble(spec_w, vshards="auto", use_pallas=True)
+    assert plan_w.markers[0].vshards == 64  # capped: 40MB/(8*256^2) = 80 -> 64
+    spec_pr = dataclasses.replace(
+        spec_w, markers=[ng.MarkerTerm("M", ng.from_array(g), ng.BayesPR(9999, 0.05))])
+    plan_pr, _ = ng.assemble(spec_pr, vshards="auto", use_pallas=True)
+    assert plan_pr.markers[0].vshards == 96  # single-Gram weighted: uncapped
