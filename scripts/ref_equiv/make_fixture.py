@@ -61,6 +61,12 @@ def write_extras(rng, fx, qtl):
     # one standard-normal variance-model covariate per SNP
     cov = rng.normal(0.0, 1.0, P)
     np.savetxt(os.path.join(fx, "lv_cov.txt"), cov, fmt="%.17g")
+    # heteroscedastic residual weights (the "D" structure, mme.jl:71-75)
+    w = rng.uniform(0.5, 2.0, N)
+    np.savetxt(os.path.join(fx, "weights.txt"), w, fmt="%.17g")
+    # iid grouping factor for the (1|grp) random-effect variant
+    grp = rng.integers(0, 20, N)
+    np.savetxt(os.path.join(fx, "groups.txt"), grp, fmt="%d")
 
 
 if __name__ == "__main__":

@@ -11,12 +11,13 @@ agree with the engine in distribution if both implement the same
 conditionals, which is what scripts/ref_equiv/run.py gates on (posterior
 EBV / PIP / variance agreement over long chains).
 
-Model: y = 1*mu + M beta + e  with residual prior Random("I", v_e)
-(df 4, scale v*(df-2)/df — /root/reference/src/mme.jl:87-94) and a single
-marker set under one of the seven priors. Stage order per sweep follows
-runSampler! (/root/reference/src/samplers.jl:31-53): varE -> fixed ->
-markers. The intercept ridge jitter min(|diag|)/1e4 (mme.jl:151) is
-reproduced.
+Model: y = 1*mu + M beta + e  with residual prior Random("I", v_e) or the
+weighted Random(w, v_e) "D" structure (df 4, scale v*(df-2)/df —
+/root/reference/src/mme.jl:87-94) and a single marker set under one of the
+seven priors. Stage order per sweep follows runSampler!
+(/root/reference/src/samplers.jl:31-53): varE -> fixed -> markers. The
+min(|diag|)/1e4 ridge jitter applies only to Matrix xpx blocks
+(mme.jl:146-150), so the scalar intercept here carries none.
 """
 from __future__ import annotations
 
@@ -28,13 +29,22 @@ def _chisq(rng, df):
 
 
 def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
-               annot=None, lv_design=None, v_e=1.0):
+               annot=None, lv_design=None, v_e=1.0, weights=None,
+               z_idx=None, z_v=0.5):
     """Run the sequential chain; return posterior summaries.
 
     prior: dict with keys per method —
       PR/LV: v;  B/C: pi (P(in)), v, estimatePi;  R/RCpi/RCplus: pi (vector),
       class (vector), v, estimatePi;  LV adds varZeta, estimateVarZeta.
-    Returns {"beta_mean", "pip", "var_e_mean", "var_beta_mean", "ebv_mean"}.
+    weights: residual "D" weight vector w (mme.jl:71-75: iVarStr = 1/w) —
+      weighted varE / xpx / Xp / mpm / Mp; BayesB/C's rrr stays the RAW
+      column dot (functions.jl:168,208).
+    z_idx: optional (n,) int level assignment for one iid (1|grp) random
+      effect, prior Random("I", z_v) — per-level scan of sampleU/sampleZ!
+      (functions.jl:57-97, identity structure) + sampleVarU (:498-501),
+      stage order varE -> X -> Z -> M (samplers.jl:41-53).
+    Returns {"beta_mean", "pip", "var_e_mean", "var_beta_mean", "ebv_mean"
+             [, "u_mean", "var_u_mean"]}.
     """
     rng = np.random.default_rng(seed)
     g = np.asarray(g, np.float64)
@@ -42,10 +52,19 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
     n, p = g.shape
     mc = g - g.mean(axis=0)
     mcT = np.ascontiguousarray(mc.T)  # (p, n): row j = centered locus j
-    mpm = np.einsum("ij,ij->i", mcT, mcT)
+    d_inv = None if weights is None else 1.0 / np.asarray(weights, np.float64)
+    if d_inv is None:
+        mcTw = mcT  # Mp rows (mme.jl:299-309)
+        mpm = np.einsum("ij,ij->i", mcT, mcT)
+    else:
+        mcTw = mcT * d_inv[None, :]
+        mpm = np.einsum("ij,ij->i", mcT, mcTw)
 
-    # intercept precompute (mme.jl:132-153: xpx + I*min(|diag|)/10000)
-    xpx = float(n) * (1.0 + 1.0 / 10000.0)
+    # intercept precompute (mme.jl:127-153). NOTE the min(|diag|)/1e4 ridge
+    # jitter applies only to Matrix xpx (multi-column blocks) — a scalar
+    # intercept xpx is NOT jittered (mme.jl:146-150).
+    xpx = float(n) if d_inv is None else float(d_inv.sum())
+    xpw = np.ones(n) if d_inv is None else d_inv  # weighted Xp row
 
     e_df = 4.0
     e_scale = v_e * (e_df - 2.0) / e_df  # mme.jl:87-94
@@ -57,6 +76,19 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
     b0 = 0.0
     ycorr = y.copy()
     var_e = v_e
+
+    if z_idx is not None:
+        z_idx = np.asarray(z_idx, np.int64)
+        qlev = int(z_idx.max()) + 1
+        u = np.zeros(qlev)
+        var_u = float(z_v)
+        z_df = 4.0  # 3 + dim(v) (mme.jl:264-272)
+        z_scale = z_v * (z_df - 2.0) / z_df
+        # zpz = per-level z'z (weighted when D; mme.jl:170-204)
+        zw = np.ones(n) if d_inv is None else d_inv
+        zpz = np.bincount(z_idx, weights=zw, minlength=qlev)
+        s_u = np.zeros(qlev)
+        s_var_u = 0.0
 
     # ---- per-method state (mme.jl:326-446 init rules)
     if method in ("BayesB", "BayesLV"):
@@ -113,16 +145,29 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
     s_ebv = np.zeros(n)
 
     for it in range(1, chain + 1):
-        # --- varE (functions.jl:523-524)
-        var_e = (e_df * e_scale + ycorr @ ycorr) / _chisq(rng, e_df + n)
+        # --- varE (functions.jl:523-528; weighted variant sums d_inv*e^2)
+        ee = ycorr @ ycorr if d_inv is None else ycorr @ (d_inv * ycorr)
+        var_e = (e_df * e_scale + ee) / _chisq(rng, e_df + n)
         ive = 1.0 / var_e
 
         # --- intercept (functions.jl:39-48, single-column path)
         ycorr += b0
-        rhs0 = ycorr.sum() * ive
+        rhs0 = (xpw @ ycorr) * ive
         lhs0 = xpx * ive
         b0 = rng.normal(rhs0 / lhs0, np.sqrt(1.0 / lhs0))
         ycorr -= b0
+
+        # --- iid random effect (functions.jl:57-97 identity structure:
+        # full restore, Yi precomputed once, per-level scan; sampleVarU)
+        if z_idx is not None:
+            ycorr += u[z_idx]
+            yi = np.bincount(z_idx, weights=ycorr * zw, minlength=qlev) * ive
+            ivu = 1.0 / var_u
+            for i in range(qlev):
+                lhs_u = zpz[i] * ive + ivu
+                u[i] = rng.normal(yi[i] / lhs_u, np.sqrt(1.0 / lhs_u))
+            ycorr -= u[z_idx]
+            var_u = (z_scale * z_df + u @ u) / _chisq(rng, z_df + qlev)
 
         # --- marker set
         if method == "BayesPR":
@@ -130,7 +175,7 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
             ivb = 1.0 / var_beta[0]
             for j in range(p):
                 ycorr += beta[j] * mcT[j]
-                rhs = (mcT[j] @ ycorr) * ive
+                rhs = (mcTw[j] @ ycorr) * ive
                 lhs = mpm[j] * ive + ivb
                 beta[j] = rng.normal(rhs / lhs, np.sqrt(1.0 / lhs))
                 ycorr -= beta[j] * mcT[j]
@@ -152,7 +197,9 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
                 if rng.uniform() < p1:
                     delta[j] = 1
                     n_in += 1
-                    rhs = rrr * ive  # reference recomputes the same dot
+                    # reference recomputes via the (weighted) Mp row; equals
+                    # rrr*ive only in the unweighted case
+                    rhs = (rrr if d_inv is None else mcTw[j] @ ycorr) * ive
                     with np.errstate(divide="ignore"):
                         lhs = mpm[j] * ive + (1.0 / vb if vb > 0 else np.inf)
                     if np.isinf(lhs):
@@ -184,7 +231,7 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
             sum_s = 0.0
             for j in range(p):
                 ycorr += beta[j] * mcT[j]
-                rhs = (mcT[j] @ ycorr) * ive
+                rhs = (mcTw[j] @ ycorr) * ive
                 lhs_v = np.zeros(K)
                 logl = np.empty(K)
                 for k in range(K):
@@ -224,7 +271,7 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
             for j in range(p):
                 nz = annot_nz[j]
                 ycorr += beta[j] * mcT[j]
-                rhs = (mcT[j] @ ycorr) * ive
+                rhs = (mcTw[j] @ ycorr) * ive
                 lhs_av = np.zeros((n_annot, K))
                 logl_av = np.full((n_annot, K), -np.inf)
                 for a in nz:
@@ -281,7 +328,7 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
                 ycorr += beta[j] * mcT[j]
                 temp_beta = 0.0
                 for a in nz:
-                    rhs = (mcT[j] @ ycorr) * ive
+                    rhs = (mcTw[j] @ ycorr) * ive
                     lhs_v = np.zeros(K)
                     logl = np.empty(K)
                     for k in range(K):
@@ -320,7 +367,7 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
             # functions.jl:421-486
             for j in range(p):
                 ycorr += beta[j] * mcT[j]
-                rhs = (mcT[j] @ ycorr) * ive
+                rhs = (mcTw[j] @ ycorr) * ive
                 lhs = mpm[j] * ive + 1.0 / var_beta[j]
                 beta[j] = rng.normal(rhs / lhs, np.sqrt(1.0 / lhs))
                 ycorr -= beta[j] * mcT[j]
@@ -370,8 +417,11 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
                 s_pip += (v_class[delta - 1] > 0).astype(np.float64)
             else:
                 s_pip += (beta != 0.0).astype(np.float64)
+            if z_idx is not None:
+                s_u += u
+                s_var_u += var_u
 
-    return {
+    out = {
         "beta_mean": s_beta / kept,
         "pip": s_pip / kept,
         "var_e_mean": s_var_e / kept,
@@ -379,3 +429,7 @@ def run_oracle(method, g, y, prior, chain=4000, burn=1000, thin=5, seed=1,
         "ebv_mean": s_ebv / kept,
         "kept": kept,
     }
+    if z_idx is not None:
+        out["u_mean"] = s_u / kept
+        out["var_u_mean"] = s_var_u / kept
+    return out

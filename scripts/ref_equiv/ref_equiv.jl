@@ -38,11 +38,26 @@ elseif method == "BayesRCplus"
 elseif method == "BayesLV"
     covdf = DataFrame(x = lvcov)
     BayesLV(0.05, @formula(v ~ 1 + x), covdf, 0.1; estimateVarZeta=false)
+elseif method == "BayesPR_D" || method == "BayesPR_Z"
+    BayesPR(9999, 0.05)
+elseif method == "BayesC_D"
+    BayesC(0.1, 0.05; estimatePi=true)
 else
     error("unknown method $method")
 end
 
-priorVar = Dict(:M => prior, :e => Random("I", 1.0))
+# _D variants: heteroscedastic residual weights (the "D" structure)
+weights = vec(readdlm(joinpath(here, "fixture", "weights.txt")))
+ePrior = endswith(method, "_D") ? Random(weights, 1.0) : Random("I", 1.0)
+priorVar = Dict(:M => prior, :e => ePrior)
+
+# _Z variant: iid (1|grp) random effect on the committed grouping
+if endswith(method, "_Z")
+    groups = vec(readdlm(joinpath(here, "fixture", "groups.txt"), Int))
+    pheno.grp = string.(groups)
+    global f = @formula(y ~ 1 + (1|grp) + SNP("M", genopath))
+    priorVar[:grp] = Random("I", 0.5)
+end
 
 out = joinpath(here, "ref_out_run", method)
 runLMEM(f, pheno, chain, burn, thin; VCV=priorVar, outFolder=out)

@@ -58,7 +58,13 @@ def _force_cpu():
         pass
 
 ALL_METHODS = ["BayesPR", "BayesB", "BayesC", "BayesR",
-               "BayesRCpi", "BayesRCplus", "BayesLV"]
+               "BayesRCpi", "BayesRCplus", "BayesLV",
+               # weighted-residual ("D") corner: same samplers with the
+               # committed heteroscedastic weight vector (mme.jl:71-75)
+               "BayesPR_D", "BayesC_D",
+               # iid (1|grp) random-effect corner: sampleZ!/sampleU scan
+               # (functions.jl:57-97) + sampleVarU, vs the same in the oracle
+               "BayesPR_Z"]
 
 PRIORS = {
     "BayesPR": {"v": 0.05},
@@ -83,7 +89,9 @@ def load_fixture():
     )
     annot = np.loadtxt(os.path.join(HERE, "fixture", "annot.txt"))
     lv_cov = np.loadtxt(os.path.join(HERE, "fixture", "lv_cov.txt"))
-    return g, np.asarray(pheno["y"], np.float64), annot, lv_cov
+    weights = np.loadtxt(os.path.join(HERE, "fixture", "weights.txt"))
+    groups = np.loadtxt(os.path.join(HERE, "fixture", "groups.txt"), dtype=np.int64)
+    return g, np.asarray(pheno["y"], np.float64), annot, lv_cov, weights, groups
 
 
 def _engine_prior(method, annot, lv_cov):
@@ -111,14 +119,21 @@ def _engine_prior(method, annot, lv_cov):
     raise ValueError(method)
 
 
-def run_engine(method, g, y, annot, lv_cov, chain, burn, thin, seed):
+def run_engine(method, g, y, annot, lv_cov, chain, burn, thin, seed,
+               weights=None, z_idx=None):
     import nextgp_tpu as ng
 
     n = len(y)
+    random = []
+    if z_idx is not None:
+        qlev = int(z_idx.max()) + 1
+        zmat = (z_idx[:, None] == np.arange(qlev)[None, :]).astype(float)
+        random = [ng.RandomTerm("grp", zmat, prior=ng.Random("I", 0.5))]
     spec = ng.ModelSpec(
         y=y,
-        residual=ng.Random("I", 1.0),
+        residual=ng.Random("I", 1.0) if weights is None else ng.Random(weights, 1.0),
         fixed=[ng.FixedTerm("int", np.ones(n))],
+        random=random,
         markers=[ng.MarkerTerm("M", ng.from_array(g),
                                _engine_prior(method, annot, lv_cov))],
         block_size=64,
@@ -135,6 +150,8 @@ def run_engine(method, g, y, annot, lv_cov, chain, burn, thin, seed):
         pip = (vcl[delta.astype(np.int64) - 1] > 0).mean(axis=0)
     else:
         pip = (beta_draws != 0.0).mean(axis=0)
+    if z_idx is not None:
+        return beta_mean, pip, var_e, res.posterior_mean("ugrp")
     return beta_mean, pip, var_e
 
 
@@ -162,14 +179,19 @@ def analytic_pr_corr(gc, y, beta_mean, var_beta, var_e):
     return ebv_corr(gc, beta_mean, sol[1:])
 
 
-def run_method(method, g, y, annot, lv_cov, chain, burn, thin):
+def run_method(method, g, y, annot, lv_cov, weights_all, groups, chain, burn, thin):
     from oracle_np import run_oracle
 
+    base = method[:-2] if method.endswith(("_D", "_Z")) else method
+    w = weights_all if method.endswith("_D") else None
+    zi = groups if method.endswith("_Z") else None
     gc = g - g.mean(axis=0)
     out = {"method": method, "target": 0.999}
 
-    beta_e, pip_e, var_e_e = run_engine(
-        method, g, y, annot, lv_cov, chain, burn, thin, seed=7)
+    eng1 = run_engine(
+        base, g, y, annot, lv_cov, chain, burn, thin, seed=7, weights=w,
+        z_idx=zi)
+    beta_e, pip_e, var_e_e = eng1[:3]
 
     ref_file = os.path.join(HERE, "ref_out", method, "beta_mean.csv")
     julia = shutil.which("julia")
@@ -196,17 +218,22 @@ def run_method(method, g, y, annot, lv_cov, chain, burn, thin):
     out["julia_skip_reason"] = skip
 
     # self-calibration: engine at a second seed = the pure-MC noise floor
-    beta_e2, pip_e2, var_e_e2 = run_engine(
-        method, g, y, annot, lv_cov, chain, burn, thin, seed=8)
+    eng2 = run_engine(
+        base, g, y, annot, lv_cov, chain, burn, thin, seed=8, weights=w,
+        z_idx=zi)
+    beta_e2, pip_e2, var_e_e2 = eng2[:3]
     self_corr = ebv_corr(gc, beta_e, beta_e2)
     self_pip = corr(pip_e, pip_e2)
 
-    pr = dict(PRIORS[method])
+    pr = dict(PRIORS[base])
     lv_design = np.column_stack([np.ones(len(lv_cov)), lv_cov])
-    orc = run_oracle(method, g, y, pr, chain=chain, burn=burn, thin=thin,
-                     seed=3, annot=annot, lv_design=lv_design)
-    orc2 = run_oracle(method, g, y, pr, chain=chain, burn=burn, thin=thin,
-                      seed=4, annot=annot, lv_design=lv_design)
+    okw = dict(annot=annot, lv_design=lv_design, weights=w)
+    if zi is not None:
+        okw["z_idx"] = zi
+    orc = run_oracle(base, g, y, pr, chain=chain, burn=burn, thin=thin,
+                     seed=3, **okw)
+    orc2 = run_oracle(base, g, y, pr, chain=chain, burn=burn, thin=thin,
+                      seed=4, **okw)
     oc = max(ebv_corr(gc, beta_e, orc["beta_mean"]),
              ebv_corr(gc, beta_e, orc2["beta_mean"]))
     o_self = ebv_corr(gc, orc["beta_mean"], orc2["beta_mean"])
@@ -239,9 +266,15 @@ def run_method(method, g, y, annot, lv_cov, chain, burn, thin):
         "ve_gate": round(ve_gate, 4),
     })
     ok = oc >= gate and ve_rel <= ve_gate
+    if zi is not None:  # random-effect posterior-mean agreement
+        u_corr = max(corr(eng1[3], orc["u_mean"]), corr(eng1[3], orc2["u_mean"]))
+        u_self = min(corr(eng1[3], eng2[3]), corr(orc["u_mean"], orc2["u_mean"]))
+        out["u_corr"] = round(u_corr, 6)
+        out["u_self_corr"] = round(u_self, 6)
+        ok = ok and u_corr >= u_self - 0.05
     if pip_gate is not None and np.isfinite(pip_c):
         ok = ok and pip_c >= pip_gate
-    if method == "BayesPR":
+    if base == "BayesPR" and w is None:
         ac = analytic_pr_corr(gc, y, beta_e, var_beta=float(
             np.mean(orc["var_beta_mean"])), var_e=var_e_e)
         out["analytic_corr"] = round(ac, 6)
@@ -264,10 +297,10 @@ def main():
     chain, burn, thin = (1500, 400, 5) if args.fast else (6000, 1500, 5)
 
     _force_cpu()
-    g, y, annot, lv_cov = load_fixture()
+    g, y, annot, lv_cov, weights, groups = load_fixture()
     all_ok = True
     for m in methods:
-        res = run_method(m, g, y, annot, lv_cov, chain, burn, thin)
+        res = run_method(m, g, y, annot, lv_cov, weights, groups, chain, burn, thin)
         print(json.dumps(res), flush=True)
         all_ok &= bool(res.get("pass"))
     return 0 if all_ok else 1
