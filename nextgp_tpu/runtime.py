@@ -58,6 +58,16 @@ def _headers(spec: ModelSpec, plan: SweepPlan) -> Dict[str, List[str]]:
         if mp.method == "BayesLV":
             h[f"c{mp.name}"] = [f"c{v + 1}" for v in range(mp.n_lv_cov)]
             h[f"varZeta{mp.name}"] = ["varZeta"]
+    for ct, cp in zip(getattr(spec, "corr_markers", []), plan.corr_markers):
+        for t, nm in enumerate(cp.names):
+            ids = getattr(ct.datas[t], "snp_ids", None)
+            h[f"beta{nm}"] = list(ids) if ids is not None else [
+                f"{nm}_{i + 1}" for i in range(cp.p)]
+        h[f"var{'_'.join(cp.names)}"] = [
+            f"reg{r + 1}_{i + 1}_{j + 1}"
+            for r in range(cp.n_regions)
+            for i in range(cp.n_t) for j in range(cp.n_t)
+        ]
     return h
 
 

@@ -210,3 +210,34 @@ def test_burnin_not_divisible_by_thin(rng, n_chain, n_burn, n_thin):
             manual.append(float(collect_sample(state, plan)["varE"]))
     np.testing.assert_allclose(
         np.asarray(res.draws["varE"]).ravel(), np.asarray(manual), rtol=1e-6)
+
+
+def test_run_lmem_corr_markers_outputs(rng, tmp_path):
+    """run_lmem with a correlated marker tuple streams reference-layout
+    files with per-set SNP-id headers and a flattened region-covariance
+    file (mme.jl:448-489 output surface)."""
+    from nextgp_tpu.api.spec import CorrMarkerTerm
+
+    n, p = 50, 24
+    g1 = rng.integers(0, 3, (n, p)).astype(float)
+    g2 = rng.integers(0, 3, (n, p)).astype(float)
+    y = rng.normal(0, 1, n)
+    v = np.array([[0.02, 0.005], [0.005, 0.015]])
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        corr_markers=[CorrMarkerTerm(
+            ("M1", "M2"), (ng.from_array(g1), ng.from_array(g2)),
+            ng.BayesPR(9999, v))],
+        block_size=8,
+    )
+    out = str(tmp_path / "out")
+    res = run_lmem(spec, n_chain=40, n_burn=10, n_thin=5, out_folder=out, seed=2)
+    assert res.draws["betaM1"].shape == (6, p)
+    b1 = read_samples("betaM1", out)
+    b2 = read_samples("betaM2", out)
+    vv = read_samples("varM1_M2", out)
+    assert b1.shape == (6, p) and b2.shape == (6, p)
+    assert vv.shape == (6, 4)  # 1 region x 2x2 covariance flattened
+    with open(tmp_path / "out" / "varM1_M2Out") as fh:
+        assert fh.readline().split("\t")[0] == "reg1_1_1"
