@@ -106,3 +106,23 @@ def test_run_chains_fingerprint_guard(rng, tmp_path):
             n_thin=10, seed=3, n_shards=1, out_folder=out, checkpoint_every=1,
             resume=True,
         )
+
+
+def test_run_chains_burnin_remainder(rng):
+    """Non-divisible (burn, thin) honors the reference kept rule in the
+    multi-chain runner too (remainder burn sweeps before the kept loop)."""
+    n, p = 40, 16
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = rng.normal(0, 1, n)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), ng.BayesPR(9999, 0.05))],
+        block_size=8,
+    )
+    out = run_chains(
+        spec, n_chains=2, n_chain=23, n_burn=5, n_thin=3, seed=1, n_shards=1,
+    )
+    kept = list(range(5 + 3, 24, 3))  # sweeps 8, 11, ..., 23
+    assert out["draws"]["varE"].shape == (2, len(kept))
+    assert int(np.asarray(out["state"].sweep_index[0])) == kept[-1]
