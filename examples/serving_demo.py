@@ -19,6 +19,15 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+
+# the axon sitecustomize force-selects the remote-TPU tunnel, overriding a
+# JAX_PLATFORMS=cpu env var — this toy demo must not pay remote compiles
+if jax.config.jax_platforms != "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 import nextgp_tpu as ng
 from nextgp_tpu.runtime import run_lmem
 

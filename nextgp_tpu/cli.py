@@ -131,11 +131,7 @@ def _spec_from_config(cfg: Dict[str, Any], base: str):
 def _parse_vshards(v):
     """Config `vshards`: "auto" (default — tuned schedule on the TPU kernel
     path, sequential V=1 elsewhere) or an explicit integer."""
-    if isinstance(v, str):
-        if v.lower() == "auto":
-            return "auto"
-        return int(v)
-    return int(v)
+    return "auto" if isinstance(v, str) and v.lower() == "auto" else int(v)
 
 
 def cmd_run(args) -> int:

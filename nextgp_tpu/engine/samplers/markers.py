@@ -424,32 +424,28 @@ def _sweep_bc(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, common: bool, ctx):
             mpm_raw=_gram_raw_diag(ms) if weighted else None)
         lxs = (pk.reshape(nb_l, mp.block, -1),)
 
-        if weighted:
-            # weighted "D": weighted Gram drives rhs, raw Gram drives the
-            # indicator's rrr (functions.jl:168; mme.jl:71-75)
-            def scan_impl(gramb, grawb, r0, r0r, bold, lx):
-                pk_b = (lx[0].at[:, 0].add(r0.astype(jnp.float32))
-                        .at[:, 7].add(r0r.astype(jnp.float32)))
-                beta_new, u, delta = gibbs_kernels.bc_block_scan_w(
-                    gramb, grawb, pk_b, interpret=interp)
+        # weighted "D": weighted Gram drives rhs, raw Gram drives the
+        # indicator's rrr (functions.jl:168; mme.jl:71-75) — the weighted
+        # kernels take a second Gram stream and read slot 7 as r0_raw
+        def _impl(batched):
+            def run(gramb, grawb, r0, r0r, bold, lx):
+                sl = (slice(None), slice(None)) if batched else (slice(None),)
+                pk_b = lx[0].at[sl + (0,)].add(r0.astype(jnp.float32))
+                if weighted:
+                    pk_b = pk_b.at[sl + (7,)].add(r0r.astype(jnp.float32))
+                    kern = (gibbs_kernels.bc_block_scan_wv if batched
+                            else gibbs_kernels.bc_block_scan_w)
+                    beta_new, u, delta = kern(gramb, grawb, pk_b, interpret=interp)
+                else:
+                    kern = (gibbs_kernels.bc_block_scan_v if batched
+                            else gibbs_kernels.bc_block_scan)
+                    beta_new, u, delta = kern(gramb, pk_b, interpret=interp)
                 return u.astype(dtype), beta_new.astype(dtype), delta > 0
 
-            def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
-                pk_b = (lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
-                        .at[:, :, 7].add(r0r.astype(jnp.float32)))
-                beta_new, u, delta = gibbs_kernels.bc_block_scan_wv(
-                    gramb, grawb, pk_b, interpret=interp)
-                return u.astype(dtype), beta_new.astype(dtype), delta > 0
-        else:
-            def scan_impl(gramb, grawb, r0, r0r, bold, lx):
-                pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
-                beta_new, u, delta = gibbs_kernels.bc_block_scan(gramb, pk_b, interpret=interp)
-                return u.astype(dtype), beta_new.astype(dtype), delta > 0
+            return run
 
-            def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
-                pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
-                beta_new, u, delta = gibbs_kernels.bc_block_scan_v(gramb, pk_b, interpret=interp)
-                return u.astype(dtype), beta_new.astype(dtype), delta > 0
+        scan_impl = _impl(batched=False)
+        scan_impl_v = _impl(batched=True)
 
     ycorr, beta, inc = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, True, ctx,
                                       scan_impl=scan_impl, vshards=mp.vshards,

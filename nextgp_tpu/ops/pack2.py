@@ -29,6 +29,7 @@ bit-identical to unpacked int8 storage. The reference stores dense f64
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -124,8 +125,11 @@ def _make_matvec_kernel(impl: str):
     return _matvec_kernel
 
 
-_MATVEC_IMPL = __import__("os").environ.get("NG_PACK2_MATVEC", "vpu")
-_matvec_kernel = _make_matvec_kernel(_MATVEC_IMPL)
+def _matvec_impl() -> str:
+    """Gather kernel variant from NG_PACK2_MATVEC, read when each shape
+    first traces (an import-time read would silently ignore env changes
+    made after `import nextgp_tpu`; already-traced shapes stay cached)."""
+    return os.environ.get("NG_PACK2_MATVEC", "vpu")
 
 
 def _tile_sizes(R, q):
@@ -170,7 +174,7 @@ def matvec(pk, y4, interpret=False):
     R, q = pk.shape
     rt, qt = _tile_sizes_mv(R, q)
     out = pl.pallas_call(
-        _matvec_kernel,
+        _make_matvec_kernel(_matvec_impl()),
         grid=(R // rt, q // qt),
         in_specs=[
             pl.BlockSpec((rt, qt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -223,7 +227,8 @@ def _make_rank_kernel(impl: str):
     return _rank_kernel
 
 
-_RANK_IMPL = __import__("os").environ.get("NG_PACK2_RANK", "vpu")
+def _rank_impl() -> str:
+    return os.environ.get("NG_PACK2_RANK", "vpu")
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -233,7 +238,7 @@ def rank_update(pk, u, interpret=False):
     R, q = pk.shape
     rt, qt = _tile_sizes(R, q)
     out = pl.pallas_call(
-        _make_rank_kernel(_RANK_IMPL),
+        _make_rank_kernel(_rank_impl()),
         grid=(q // qt, R // rt),
         in_specs=[
             pl.BlockSpec((rt, qt), lambda j, i: (i, j), memory_space=pltpu.VMEM),
@@ -264,7 +269,7 @@ def y_planar(yp):
 
 
 def _matvec_kernel_sp(t_ref, pk_ref, y4_ref, out_ref):
-    _matvec_kernel(pk_ref, y4_ref, out_ref)
+    _make_matvec_kernel(_matvec_impl())(pk_ref, y4_ref, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
@@ -301,7 +306,7 @@ def rank_update_step(pk_all, t, u, interpret=False):
     rows = u.shape[0]
     _, q = pk_all.shape
     rt, qt = _tile_sizes(rows, q)
-    kernel = _make_rank_kernel(_RANK_IMPL)
+    kernel = _make_rank_kernel(_rank_impl())
 
     def _kernel_sp(t_ref, pk_ref, u_ref, out_ref):
         kernel(pk_ref, u_ref, out_ref)
