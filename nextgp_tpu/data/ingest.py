@@ -80,10 +80,13 @@ def from_array(m, snp_ids=None, chr_ids=None, drop_missing=True) -> MarkerData:
 
 
 def from_float_array(m, snp_ids=None, chr_ids=None) -> MarkerData:
-    """Arbitrary real-valued marker panel: falls back to int8 quantization-free
+    """Arbitrary real-valued marker panel: falls back to quantization-free
     storage by keeping a float genotype matrix. Center is still the column
-    mean. This path trades bandwidth for exactness."""
-    m = np.asarray(m, dtype=np.float32)
+    mean. Host storage stays float64 — the reference stores centered f64
+    (prepMatVec.jl:129) and the f64 golden/equivalence chains must see the
+    exact input values; `assemble` casts to the engine dtype (f32 on TPU)
+    only when building the device storage."""
+    m = np.asarray(m, dtype=np.float64)
     if snp_ids is None:
         snp_ids = [f"M{i + 1}" for i in range(m.shape[1])]
     center = m.mean(axis=0, dtype=np.float64)

@@ -93,6 +93,15 @@ def read_pedigree(path: str) -> Pedigree:
 
 
 def build_pedigree(ids, sires, dams) -> Pedigree:
+    ids = list(ids)
+    if len(set(ids)) != len(ids):
+        from collections import Counter
+
+        dupes = [v for v, c in Counter(ids).items() if c > 1]
+        raise ValueError(
+            f"pedigree has duplicate individual ids (first few: {dupes[:5]}); "
+            "a silent last-row-wins merge would corrupt A-inverse/inbreeding"
+        )
     order = _toposort(ids, sires, dams)
     pos = {v: i for i, v in enumerate(order)}
     lookup = dict(zip(ids, zip(sires, dams)))

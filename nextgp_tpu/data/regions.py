@@ -25,7 +25,9 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class RegionInfo:
-    region_id: np.ndarray  # (p,) int32, contiguous non-decreasing
+    # (p,) int32; non-decreasing for genome-ordered maps (for interleaved
+    # chromosome maps, ids group by chromosome value as in the reference)
+    region_id: np.ndarray
     n_regions: int
 
     @property
@@ -51,12 +53,11 @@ def regions_from_map(chr_ids, r: int) -> RegionInfo:
         return RegionInfo(np.zeros(n, dtype=np.int32), 1)
     region = np.empty(n, dtype=np.int32)
     next_region = 0
-    # preserve order of first appearance per chromosome
-    seen = []
-    for c in chrv:
-        if len(seen) == 0 or seen[-1] != c:
-            seen.append(c)
-    start = 0
+    # one pass per chromosome VALUE in order of first appearance, exactly
+    # unique(chrID) in misc.jl:170/179 — a consecutive-run dedup would
+    # re-process interleaved chromosomes, overwriting first-pass ids and
+    # emitting ghost empty regions
+    seen = list(dict.fromkeys(chrv.tolist()))
     for c in seen:
         idx = np.nonzero(chrv == c)[0]
         m = len(idx)
@@ -67,7 +68,6 @@ def regions_from_map(chr_ids, r: int) -> RegionInfo:
             within = np.arange(m) // r
             region[idx] = next_region + within
             next_region += int(within[-1]) + 1 if m else 0
-        start += m
     return RegionInfo(region, next_region)
 
 
@@ -79,13 +79,20 @@ def build_regions(n_snp: int, r: int, chr_ids: Optional[np.ndarray] = None) -> R
     return regions_from_map(chr_ids, r)
 
 
-def write_group_info(path: str, marker_set: str, snp_ids, chr_ids, info: RegionInfo):
-    """groupInfo_<set>.txt emission matching misc.jl:209 (tab-delimited)."""
+def write_group_info(path: str, marker_set: str, snp_ids, chr_ids, info: RegionInfo,
+                     r: Optional[int] = None):
+    """groupInfo_<set>.txt emission matching misc.jl:209 (tab-delimited).
+
+    For r == 99 the reference writes the actual CHROMOSOME id as groupID
+    (misc.jl:170-173), not a renumbered region index — chromosome labels
+    3 and 7 emit groupID 3 and 7. Window regions write 1-based region ids
+    (misc.jl:178-208)."""
     import os
 
     fn = os.path.join(path, f"groupInfo_{marker_set}.txt")
     with open(fn, "w") as fh:
         fh.write("snpID\tsnpOrder\tchrID\tgroupID\n")
         for i, (sid, cid) in enumerate(zip(snp_ids, chr_ids)):
-            fh.write(f"{sid}\t{i + 1}\t{cid}\t{int(info.region_id[i]) + 1}\n")
+            gid = cid if r == 99 else int(info.region_id[i]) + 1
+            fh.write(f"{sid}\t{i + 1}\t{cid}\t{gid}\n")
     return fn

@@ -150,9 +150,11 @@ def make_grn_step(plan: GRNPlan, xc, ytil, dtype=jnp.float64):
 
         # 5) Lambda2 single-site Gibbs, genes vmapped (GRN.jl:128,150-164)
         z2 = jax.random.normal(k(5), (G, S), dtype)
-        alpha = var_e / state.var_beta  # (G,), prior-mean shift GRN.jl:153-156
+        # NOTE: the reference's prior-mean shift alpha*pMeans (GRN.jl:153-156)
+        # is identically zero (pMeans = 0, GRN.jl:72), so the executed
+        # conditional carries no shrinkage term — matched here explicitly
 
-        def gene_scan(lam2_g, yc_g, z_g, alpha_g):
+        def gene_scan(lam2_g, yc_g, z_g):
             r0 = xc @ yc_g  # (S,)
 
             def body(u, xs):
@@ -171,7 +173,7 @@ def make_grn_step(plan: GRNPlan, xc, ytil, dtype=jnp.float64):
             yc_g = yc_g + u @ xc
             return bnew, yc_g
 
-        lam2, ycorr = jax.vmap(gene_scan)(state.lam2, ycorr, z2, alpha)
+        lam2, ycorr = jax.vmap(gene_scan)(state.lam2, ycorr, z2)
 
         # 6) per-gene SNP-effect variances (GRN.jl:131-133, :242-244)
         ssb = jnp.sum(lam2 * lam2, axis=1)

@@ -53,27 +53,39 @@ def split_rhat(chains: np.ndarray) -> np.ndarray:
 
 
 def ess_bulk(chains: np.ndarray, max_lag: int = 200) -> np.ndarray:
-    """Effective sample size via Geyer initial-positive-sequence autocorrelation."""
+    """Effective sample size via Geyer initial-positive-sequence
+    autocorrelation, normalized by the MULTI-CHAIN variance estimate
+    var_plus (Vehtari et al. 2021 / Stan): rho_t = 1 - (W - acov_t)/var+,
+    so disagreeing (unmixed) chains deflate ESS instead of inflating it.
+    NaN when fewer than 2 draws per chain (like split_rhat)."""
     c = np.atleast_3d(chains)
     n_ch, n_dr, dim = c.shape
+    if n_dr < 2:
+        return np.full(dim, np.nan)
     ess = np.empty(dim)
     for d in range(dim):
         x = c[:, :, d]
-        x = x - x.mean(axis=1, keepdims=True)
-        acov = np.zeros(min(max_lag, n_dr - 1))
+        means = x.mean(axis=1, keepdims=True)
+        xc = x - means
+        within = float(np.mean(x.var(axis=1, ddof=1))) if n_dr > 1 else 0.0
+        between = (
+            float(n_dr * means[:, 0].var(ddof=1)) if n_ch > 1 else 0.0
+        )
+        var_plus = (n_dr - 1) / n_dr * within + between / n_dr
+        acov = np.zeros(max(1, min(max_lag, n_dr - 1)))
         for lag in range(len(acov)):
             acov[lag] = np.mean(
-                [np.dot(x[i, : n_dr - lag], x[i, lag:]) / n_dr for i in range(n_ch)]
+                [np.dot(xc[i, : n_dr - lag], xc[i, lag:]) / n_dr for i in range(n_ch)]
             )
-        if acov[0] <= 0:
+        if var_plus <= 0:
             ess[d] = n_ch * n_dr
             continue
-        rho = acov / acov[0]
+        rho = 1.0 - (within - acov) / var_plus  # rho[0] ~ 1 - noise
         s = 0.0
         for k in range(1, len(rho) - 1, 2):
             pair = rho[k] + rho[k + 1]
             if pair < 0:
                 break
             s += pair
-        ess[d] = n_ch * n_dr / (1.0 + 2.0 * s)
+        ess[d] = n_ch * n_dr / max(1.0, 1.0 + 2.0 * s)
     return ess

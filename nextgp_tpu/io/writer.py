@@ -87,6 +87,7 @@ class MCMCWriter:
         self._q: "queue.Queue" = queue.Queue(maxsize=64)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._err: Optional[BaseException] = None
+        self._closed = False
         self._thread.start()
 
     def _path(self, name: str, width: int) -> str:
@@ -118,10 +119,12 @@ class MCMCWriter:
                 fh.write("\n")
 
     def _drain_buffers(self):
-        for name, rows in self._buf.items():
+        # pop before writing: a failed write must not leave rows behind to
+        # be re-appended by a later drain (duplicate draws on disk)
+        for name in list(self._buf):
+            rows = self._buf.pop(name)
             if rows:
                 self._write_block(name, rows)
-        self._buf.clear()
 
     def _loop(self):
         while True:
@@ -139,27 +142,38 @@ class MCMCWriter:
                     self._err = e
                 item.set()
                 continue
-            try:
-                for name, val in item.items():
-                    buf = self._buf.setdefault(name, [])
-                    buf.append(np.asarray(val))
-                    if len(buf) >= self._block_rows:
-                        self._write_block(name, buf)
-                        self._buf[name] = []
-            except BaseException as e:  # surfaced on close()
-                self._err = e
+            for name, val in item.items():
+                buf = self._buf.setdefault(name, [])
+                buf.append(np.asarray(val))
+                if len(buf) >= self._block_rows:
+                    # detach the rows BEFORE writing: a partial write must
+                    # not be retried (rows already on disk would be
+                    # appended again, double-weighting those draws), and a
+                    # failure on one quantity must not drop the others
+                    rows, self._buf[name] = buf, []
+                    try:
+                        self._write_block(name, rows)
+                    except BaseException as e:  # surfaced on close()
+                        self._err = e
 
     def put(self, sample: Dict[str, np.ndarray]):
         # device -> host transfer happens here, off the compute path
         self._q.put({k: np.asarray(v) for k, v in sample.items()})
 
     def flush(self):
-        """Drain queued samples and land them on disk (checkpoint consistency)."""
+        """Drain queued samples and land them on disk (checkpoint consistency).
+        No-op after close() (the writer thread is gone; waiting on a barrier
+        it will never set would deadlock the caller)."""
+        if self._closed:
+            return
         barrier = threading.Event()
         self._q.put(barrier)
         barrier.wait()
 
     def close(self):
+        if self._closed:
+            return
+        self._closed = True
         self._q.put(None)
         self._thread.join()
         if self._err is not None:

@@ -159,6 +159,21 @@ def model_card(spec: ModelSpec, plan: SweepPlan, state=None) -> str:
     return "\n".join(lines)
 
 
+def _write_group_infos(spec: ModelSpec, out_folder: str) -> None:
+    """groupInfo_<set>.txt per mapped BayesPR marker set, as the reference
+    emits during setup (prep2RegionData, misc.jl:209)."""
+    from .api import priors as P
+    from .data.regions import build_regions, write_group_info
+
+    for t in spec.markers:
+        ci = getattr(t.data, "chr_ids", None)
+        if ci is None or not isinstance(t.prior, P.BayesPR):
+            continue
+        info = build_regions(t.data.n_snp, t.prior.r, ci)
+        write_group_info(out_folder, t.name, t.data.snp_ids, ci, info,
+                         r=t.prior.r)
+
+
 @dataclass
 class LMEMResult:
     plan: SweepPlan
@@ -211,6 +226,7 @@ def run_lmem(
     resuming = bool(resume and ckpt_path and os.path.exists(ckpt_path))
     if out_folder and not resuming:
         folder_handler(out_folder)
+        _write_group_infos(spec, out_folder)
     plan, state = assemble(spec, dtype=dtype, vshards=vshards)
     if progress:
         print(model_card(spec, plan, state))

@@ -159,8 +159,56 @@ def test_read_genotype_file_fractional_fallback(tmp_path):
     )
     md = ingest.read_genotype_file(str(path))
     assert md.n_snp == 3 and md.n_ind == 3  # NA column dropped
-    assert md.genotypes.dtype == np.float32
+    assert md.genotypes.dtype == np.float64  # reference stores f64 (prepMatVec.jl:129)
     np.testing.assert_allclose(md.center, [0.9, 1.0, 1.5], atol=1e-6)
     np.testing.assert_allclose(
         md.centered(), np.array([[0.1, 1, 2.5], [1.9, 0, 0.5], [0.7, 2, 1.5]])
         - np.array([0.9, 1.0, 1.5]), atol=1e-6)
+
+
+def test_regions_interleaved_chromosomes():
+    """Non-contiguous chromosome ids group by VALUE (unique(chrID) per
+    misc.jl:170/179), not by runs — a run-dedup emitted ghost empty regions
+    and overwrote first-pass assignments."""
+    chrs = np.array([1, 1, 2, 2, 1, 1])
+    info = regions.build_regions(6, 99, chrs)
+    assert info.n_regions == 2
+    np.testing.assert_array_equal(info.region_id, [0, 0, 1, 1, 0, 0])
+    np.testing.assert_array_equal(info.sizes, [4, 2])
+    info = regions.build_regions(6, 2, chrs)
+    assert info.n_regions == 3
+    np.testing.assert_array_equal(info.region_id, [0, 0, 2, 2, 1, 1])
+    assert (info.sizes > 0).all()
+
+
+def test_group_info_chromosome_labels(tmp_path):
+    """r == 99 writes the ACTUAL chromosome id as groupID (misc.jl:170-173),
+    so labels 3 and 7 pass through; window regions write 1-based ids."""
+    chrs = np.array([3, 3, 7, 7])
+    info = regions.build_regions(4, 99, chrs)
+    fn = regions.write_group_info(str(tmp_path), "M", ["a", "b", "c", "d"], chrs, info, r=99)
+    rows = [ln.split("\t") for ln in open(fn).read().strip().splitlines()[1:]]
+    assert [r[3] for r in rows] == ["3", "3", "7", "7"]
+    info2 = regions.build_regions(4, 2, chrs)
+    fn2 = regions.write_group_info(str(tmp_path), "M2", ["a", "b", "c", "d"], chrs, info2, r=2)
+    rows2 = [ln.split("\t") for ln in open(fn2).read().strip().splitlines()[1:]]
+    assert [r[3] for r in rows2] == ["1", "1", "2", "2"]
+
+
+def test_pedigree_duplicate_ids_rejected():
+    with pytest.raises(ValueError, match="duplicate"):
+        pedigree.build_pedigree(["a", "b", "a"], [None, None, None], [None, None, None])
+
+
+def test_ess_multichain_variance():
+    """ESS collapses for unmixed chains (between-chain variance folded in,
+    Vehtari et al.) and is NaN, not a crash, for single-draw chains."""
+    from nextgp_tpu.io.summary import ess_bulk
+
+    r = np.random.default_rng(0)
+    mixed = r.normal(0, 1, (4, 400, 1))
+    assert ess_bulk(mixed)[0] > 1000
+    stuck = r.normal(0, 1, (2, 400, 1))
+    stuck[1] += 50.0
+    assert ess_bulk(stuck)[0] < 10
+    assert np.isnan(ess_bulk(np.zeros((2, 1, 3)))).all()

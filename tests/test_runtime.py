@@ -241,3 +241,26 @@ def test_run_lmem_corr_markers_outputs(rng, tmp_path):
     assert vv.shape == (6, 4)  # 1 region x 2x2 covariance flattened
     with open(tmp_path / "out" / "varM1_M2Out") as fh:
         assert fh.readline().split("\t")[0] == "reg1_1_1"
+
+
+def test_run_lmem_writes_group_info(rng, tmp_path):
+    """Mapped BayesPR runs emit groupInfo_<set>.txt during setup as the
+    reference does (prep2RegionData, misc.jl:209), with chromosome labels
+    as groupID for r=99."""
+    n, p = 40, 12
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = rng.normal(0, 1, n)
+    chrs = np.r_[np.full(6, 3), np.full(6, 7)]
+    md = ng.from_array(g, chr_ids=chrs)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", md, ng.BayesPR(99, 0.05))],
+        block_size=8,
+    )
+    out = str(tmp_path / "out")
+    run_lmem(spec, n_chain=10, n_burn=2, n_thin=2, out_folder=out, seed=0)
+    fn = os.path.join(out, "groupInfo_M.txt")
+    assert os.path.exists(fn)
+    rows = [ln.split("\t") for ln in open(fn).read().strip().splitlines()[1:]]
+    assert len(rows) == p and rows[0][3] == "3" and rows[-1][3] == "7"
