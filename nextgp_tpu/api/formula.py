@@ -163,8 +163,25 @@ def parse_formula(
             name = msnp.group(1).strip("\"'")
             src = msnp.group(2)
             mapf = msnp.group(3)
+            if src is not None and mapf is None and "=" in src:
+                # SNP(name, map=...) with genotypes supplied via the dict:
+                # the optional src group would greedily swallow the map=
+                # argument and the map would be silently dropped
+                key, _, val = src.partition("=")
+                if key.strip() == "map":
+                    src, mapf = None, val
+                else:
+                    raise ValueError(
+                        f"unrecognized SNP(...) keyword argument {key.strip()!r}")
             md = _resolve_markers(name, src, mapf, genotypes)
             if row_order is not None:
+                if getattr(md, "packed", False):
+                    raise ValueError(
+                        f"marker set {name}: genotypes arrived 2-bit packed, "
+                        "which cannot be row-reordered to pedigree order — "
+                        "supply phenotypes already in pedigree order, or "
+                        "pass the unpacked panel"
+                    )
                 # deviation from the reference, which reads genotype rows
                 # as-is after re-sorting phenotypes (prepMatVec.jl:88-99,116)
                 # and thus silently misaligns unless the file is already in
@@ -175,6 +192,10 @@ def parse_formula(
             prior = priors.get(name)
             if isinstance(prior, RandomEffect) and str(prior.str_) == "G":
                 # GBLUP path (prepMatVec.jl:123-127)
+                if getattr(md, "packed", False):
+                    raise ValueError(
+                        f"marker set {name}: the GBLUP branch needs the "
+                        "unpacked dosage panel to build G (use from_array)")
                 ginv = make_g_inverse(md.genotypes.astype(np.float64), method=prior.type)
                 random.append(
                     RandomTerm(

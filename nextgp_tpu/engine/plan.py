@@ -373,8 +373,9 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
             # weighted B/C thread TWO (B, V, B) Gram streams through the
             # kernel; XLA's scoped-vmem budget (~65 MB) rejects V=96 at
             # B=256 (73 MB demand measured). Cap the auto V so the twin
-            # grams stay ~40 MB; explicit vshards values are honored as
-            # given (a too-large request fails loudly at compile).
+            # grams stay ~40 MB; an explicit too-large vshards request is
+            # not capped here (it fails loudly at compile, and non-divisor
+            # values floor to the largest divisor with a warning below).
             cap = max(1, (40 << 20) // (8 * block * block))
             if vshards > cap:
                 cands = [v for v in range(1, min(nb, cap) + 1) if nb % v == 0]
@@ -384,6 +385,15 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
         if vshards and vshards > 1
         else 1
     )
+    if vshards and vsh != int(vshards):
+        import warnings
+
+        warnings.warn(
+            f"marker set {term.name}: vshards={int(vshards)} does not divide "
+            f"the block count nb={nb}; using the largest divisor V={vsh}. "
+            "For device sharding pick vshards = k * n_shards dividing nb.",
+            stacklevel=3,
+        )
     T_ = nb // vsh
     pad = p_pad - p
 

@@ -318,15 +318,13 @@ def _blocked_sweep(ms, ycorr, d_inv, locus_fn, locus_xs, dtype, need_raw, ctx,
 # ------------------------------------------------------------------ BayesPR
 
 
-def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
-    """sampleBayesPR! (functions.jl:118-137)."""
-    dtype = ycorr.dtype
-    kz, kv = jax.random.split(key)
-    nb_l, p_l = _local_dims(ms, mp)
-    z = _rnorm(kz, mp, ctx, p_l, dtype)
-    ivb = jnp.where(ms.var_beta > 0, 1.0 / ms.var_beta, jnp.inf)
-    ivb_locus = ivb[jnp.clip(ms.region_id, 0, mp.n_var - 1)]
+def _gauss_effect_sweep(ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx, z,
+                        ivb_locus, dtype):
+    """Shared Gaussian effect update (BayesPR region priors and BayesLV
+    per-locus priors differ only in where ivb_locus comes from):
+    functions.jl:118-134 / :431-440. Returns (ycorr, beta)."""
     ive = 1.0 / var_e
+    nb_l, p_l = _local_dims(ms, mp)
 
     lxs = tuple(_blockify_dev(a, nb_l, mp.block) for a in (z, ivb_locus)) + (
         ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
@@ -360,6 +358,20 @@ def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
                                     scan_impl=scan_impl, vshards=mp.vshards,
                                     scan_impl_v=scan_impl_v)
+    return ycorr, beta
+
+
+def _sweep_pr(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
+    """sampleBayesPR! (functions.jl:118-137)."""
+    dtype = ycorr.dtype
+    kz, kv = jax.random.split(key)
+    nb_l, p_l = _local_dims(ms, mp)
+    z = _rnorm(kz, mp, ctx, p_l, dtype)
+    ivb = jnp.where(ms.var_beta > 0, 1.0 / ms.var_beta, jnp.inf)
+    ivb_locus = ivb[jnp.clip(ms.region_id, 0, mp.n_var - 1)]
+
+    ycorr, beta = _gauss_effect_sweep(
+        ms, mp, ycorr, var_e, d_inv, ctx, z, ivb_locus, dtype)
 
     # region variance update (functions.jl:135, sampleVarBetaPR :509-511)
     ss = ctx.psum(
@@ -790,41 +802,10 @@ def _sweep_lv(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     nb_l, p_l = _local_dims(ms, mp)
     z = _rnorm(kz, mp, ctx, p_l, dtype)
     u4 = _runif(ku, mp, ctx, p_l, dtype, extra=(4,))
-    ive = 1.0 / var_e
     ivb_locus = jnp.where(ms.var_beta > 0, 1.0 / ms.var_beta, jnp.inf).astype(dtype)
 
-    lxs = tuple(_blockify_dev(a, nb_l, mp.block) for a in (z, ivb_locus)) + (
-        ms.mpm, ms.lhs_ss, ms.rhs_ss, ms.mask)
-
-    def locus_fn(pre, pre_raw, bold, lx):
-        zj, ivbj, mpmj, lssj, rssj, maskj = lx
-        rhs = pre * ive + rssj
-        lhs = mpmj * ive + lssj + ivbj
-        bnew = rhs / lhs + zj * jnp.sqrt(1.0 / lhs)
-        return jnp.where(maskj, bnew, 0.0), None
-
-    scan_impl = scan_impl_v = None
-    if mp.use_pallas:
-        interp = _interpret_pallas()
-        pk = gibbs_kernels.gauss_block_pack(
-            jnp.zeros((p_l,), dtype), ms.beta, z, ivb_locus,
-            ms.mpm.reshape(-1), ms.lhs_ss.reshape(-1), ms.rhs_ss.reshape(-1),
-            ms.mask.reshape(-1), ive)
-        lxs = (pk.reshape(nb_l, mp.block, -1),)
-
-        def scan_impl(gramb, grawb, r0, r0r, bold, lx):
-            pk_b = lx[0].at[:, 0].add(r0.astype(jnp.float32))
-            beta_new, u = gibbs_kernels.gauss_block_scan(gramb, pk_b, interpret=interp)
-            return u.astype(dtype), beta_new.astype(dtype), None
-
-        def scan_impl_v(gramb, grawb, r0, r0r, bold, lx):
-            pk_b = lx[0].at[:, :, 0].add(r0.astype(jnp.float32))
-            beta_new, u = gibbs_kernels.gauss_block_scan_v(gramb, pk_b, interpret=interp)
-            return u.astype(dtype), beta_new.astype(dtype), None
-
-    ycorr, beta, _ = _blocked_sweep(ms, ycorr, d_inv, locus_fn, lxs, dtype, False, ctx,
-                                    scan_impl=scan_impl, vshards=mp.vshards,
-                                    scan_impl_v=scan_impl_v)
+    ycorr, beta = _gauss_effect_sweep(
+        ms, mp, ycorr, var_e, d_inv, ctx, z, ivb_locus, dtype)
 
     # ---- per-locus variance: bounded-uniform slice draw (functions.jl:444-470)
     vz = ms.var_zeta

@@ -65,8 +65,27 @@ def mme_matvec(plan, state, var_e, jitter=0.0):
     zs = [(rs.z, rs.ivstr, rs.var_u) for rs in state.random]
     ms = []
     for msta, mp in zip(state.markers, plan.markers):
-        mt = msta.mt.reshape(-1, msta.mt.shape[-1]).astype(state.ycorr.dtype)
-        center = msta.center.reshape(-1)
+        # normalize storage to a flat (p_pad, n) dosage matrix in GLOBAL
+        # locus order: de-vshard the (T, V, B, ncol) layout (global block
+        # g = v*T + t, so v-major flat) and unpack 2-bit bytes — treating
+        # either raw layout as dosages would solve a garbage system.
+        # Materializing f32 dosages is fine at the diagnostic scales this
+        # solver serves (conjugate tests, BLUP point solutions).
+        mt = msta.mt
+        center = msta.center
+        if mt.ndim == 4:
+            V = mt.shape[1]
+            mt = jnp.swapaxes(mt, 0, 1).reshape(-1, mt.shape[-1])
+            center = jnp.swapaxes(center, 0, 1)
+        else:
+            mt = mt.reshape(-1, mt.shape[-1])
+        center = center.reshape(-1)
+        if mp.packed:
+            from .pack2 import unpack2
+
+            mt = unpack2(mt, state.ycorr.dtype)[:, : state.ycorr.shape[0]]
+        else:
+            mt = mt.astype(state.ycorr.dtype)
         vb = msta.var_beta
         ivb = 1.0 / vb[jnp.clip(msta.region_id, 0, mp.n_var - 1)]
         mask = msta.mask.reshape(-1)

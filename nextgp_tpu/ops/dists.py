@@ -91,4 +91,8 @@ def categorical_from_probs(u, probs):
     along the last axis.
     """
     cum = jnp.cumsum(probs, axis=-1)
-    return jnp.sum((cum < u[..., None]).astype(jnp.int32), axis=-1)
+    cls = jnp.sum((cum < u[..., None]).astype(jnp.int32), axis=-1)
+    # f32 cumsum can round the final CDF entry just below 1.0; a uniform in
+    # that sliver would index one past the last class (invalid delta, and a
+    # kernel/pure-path divergence) — clamp like the kernels do
+    return jnp.minimum(cls, probs.shape[-1] - 1)

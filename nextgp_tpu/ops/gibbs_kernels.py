@@ -226,7 +226,7 @@ def _make_r_kernel(K):
             e = jnp.exp(logl)
             probs = e / jnp.sum(e)
             cum = jnp.sum(jnp.where(tri, probs[:, None], 0.0), axis=0)
-            cls = jnp.sum((cum < s[2]).astype(jnp.int32))
+            cls = jnp.minimum(jnp.sum((cum < s[2]).astype(jnp.int32)), K - 1)
             sel = kiota == cls
             bnew = jnp.sum(jnp.where(sel, cco + bco * pre, 0.0))
             beta_ref[pl.ds(j, 1), 0] = bnew[None]
@@ -493,7 +493,8 @@ def _make_r_kernel_v(K):
             probs = e / jnp.sum(e, axis=-1, keepdims=True)
             # cumsum via masked sum (cumsum does not lower in Mosaic)
             cum = jnp.sum(jnp.where(tri[None], probs[:, :, None], 0.0), axis=1)
-            cls = jnp.sum((cum < s[:, 2:3]).astype(jnp.int32), axis=-1)  # (V,)
+            cls = jnp.minimum(
+                jnp.sum((cum < s[:, 2:3]).astype(jnp.int32), axis=-1), K - 1)  # (V,)
             sel_k = kiota == cls[:, None]
             bnew = jnp.sum(jnp.where(sel_k, cco + bco * pre[:, None], 0.0), axis=-1)
             dval = jnp.where(s[:, 3] != 0, cls + 1, 0).astype(jnp.int32)
@@ -601,7 +602,8 @@ def _make_rcpi_kernel(A, K):
             ej = jnp.where(in_row, e, 0.0)
             pj = ej / jnp.sum(ej)
             cumj = jnp.sum(jnp.where(tri, pj[:, None], 0.0), axis=0)
-            cls = jnp.sum(((cumj < s[3]) & in_row).astype(jnp.int32)).astype(jnp.int32)
+            cls = jnp.minimum(jnp.sum(
+                ((cumj < s[3]) & in_row).astype(jnp.int32)).astype(jnp.int32), K - 1)
             idx = a_sel * K + cls
             hot = akiota == idx
             bnew = jnp.sum(jnp.where(hot, cco + bco * pre, 0.0))
@@ -681,9 +683,9 @@ def _make_rcpi_kernel_v(A, K):
             ej = jnp.where(in_row, e, 0.0)
             pj = ej / jnp.sum(ej, axis=-1, keepdims=True)
             cumj = jnp.sum(jnp.where(tri[None], pj[:, :, None], 0.0), axis=1)
-            cls = jnp.sum(
+            cls = jnp.minimum(jnp.sum(
                 ((cumj < s[:, 3:4]) & in_row).astype(jnp.int32), axis=-1
-            ).astype(jnp.int32)
+            ).astype(jnp.int32), K - 1)
             idx = a_sel * K + cls
             hot = akV == idx[:, None]
             bnew = jnp.sum(jnp.where(hot, cco + bco * pre[:, None], 0.0), axis=-1)
@@ -809,7 +811,8 @@ def _make_rcplus_kernel(A, K):
                 cumj = jnp.sum(jnp.where(tri, pj[:, None], 0.0), axis=0)
                 ua_a = jnp.sum(jnp.where(akiota == a * K, uak, 0.0))
                 anz_a = jnp.sum(jnp.where(akiota == a * K, anzk, 0.0)) != 0
-                cls = jnp.sum(((cumj < ua_a) & in_a).astype(jnp.int32)).astype(jnp.int32)
+                cls = jnp.minimum(jnp.sum(
+                    ((cumj < ua_a) & in_a).astype(jnp.int32)).astype(jnp.int32), K - 1)
                 hot = akiota == a * K + cls
                 bsel = jnp.sum(jnp.where(hot, bco, 0.0))
                 sel_nz = bsel > 0.0  # bco zeroed for null class / inactive
@@ -903,9 +906,9 @@ def _make_rcplus_kernel_v(A, K):
                 cumj = jnp.sum(jnp.where(tri[None], pj[:, :, None], 0.0), axis=1)
                 ua_a = jnp.sum(jnp.where(akV == a * K, uak, 0.0), axis=-1)  # (V,)
                 anz_a = jnp.sum(jnp.where(akV == a * K, anzk, 0.0), axis=-1) != 0
-                cls = jnp.sum(
+                cls = jnp.minimum(jnp.sum(
                     ((cumj < ua_a[:, None]) & in_a[None]).astype(jnp.int32), axis=-1
-                ).astype(jnp.int32)
+                ).astype(jnp.int32), K - 1)
                 hot = akV == (a * K + cls)[:, None]
                 bsel = jnp.sum(jnp.where(hot, bco, 0.0), axis=-1)
                 sel_nz = bsel > 0.0

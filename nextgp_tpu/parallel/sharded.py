@@ -163,82 +163,43 @@ def _tile(x, C):
     return jnp.broadcast_to(x[None], (C,) + x.shape) if x is not None else None
 
 
-def batch_state(plan: SweepPlan, state: ModelState, n_chains: int) -> ModelState:
-    """Add a leading chains dim to every mutable leaf."""
+def _map_chain_fields(state: ModelState, fn) -> ModelState:
+    """Apply `fn` to every mutable (chain-dimension) leaf registered in
+    _CHAIN_FIELDS, walking the ModelState containers once — the single
+    place batch/squeeze/unsqueeze semantics live (a missed branch in a
+    hand-copied walker only surfaces at shard_map trace time)."""
     import dataclasses
-
-    C = n_chains
 
     def go(obj, cls):
         kw = {}
         for f in dataclasses.fields(cls):
             v = getattr(obj, f.name)
-            kw[f.name] = _tile(v, C) if (f.name in _CHAIN_FIELDS[cls] and v is not None) else v
+            kw[f.name] = fn(v) if (f.name in _CHAIN_FIELDS[cls] and v is not None) else v
         return cls(**kw)
 
     return ModelState(
         y=state.y,
-        ycorr=_tile(state.ycorr, C),
+        ycorr=fn(state.ycorr),
         e=go(state.e, ResidualState),
         fixed=tuple(go(fs, FixedState) for fs in state.fixed),
-        random=tuple(
-            go(rs, type(rs))
-            for rs, rp in zip(state.random, plan.random)
-        ),
+        random=tuple(go(rs, type(rs)) for rs in state.random),
         markers=tuple(go(ms, MarkerState) for ms in state.markers),
-        sweep_index=_tile(state.sweep_index, C),
+        sweep_index=fn(state.sweep_index),
         corr_markers=tuple(go(cs, CorrMarkerState) for cs in state.corr_markers),
     )
+
+
+def batch_state(plan: SweepPlan, state: ModelState, n_chains: int) -> ModelState:
+    """Add a leading chains dim to every mutable leaf."""
+    return _map_chain_fields(state, lambda v: _tile(v, n_chains))
 
 
 def _squeeze_chain(batched: ModelState, plan) -> ModelState:
-    import dataclasses
-
-    def go(obj, cls):
-        kw = {}
-        for f in dataclasses.fields(cls):
-            v = getattr(obj, f.name)
-            kw[f.name] = v[0] if (f.name in _CHAIN_FIELDS[cls] and v is not None) else v
-        return cls(**kw)
-
-    return ModelState(
-        y=batched.y,
-        ycorr=batched.ycorr[0],
-        e=go(batched.e, ResidualState),
-        fixed=tuple(go(fs, FixedState) for fs in batched.fixed),
-        random=tuple(
-            go(rs, type(rs))
-            for rs, rp in zip(batched.random, plan.random)
-        ),
-        markers=tuple(go(ms, MarkerState) for ms in batched.markers),
-        sweep_index=batched.sweep_index[0],
-        corr_markers=tuple(go(cs, CorrMarkerState) for cs in batched.corr_markers),
-    )
+    return _map_chain_fields(batched, lambda v: v[0])
 
 
 def _unsqueeze_chain(state: ModelState, plan) -> ModelState:
-    import dataclasses
-
-    def go(obj, cls):
-        kw = {}
-        for f in dataclasses.fields(cls):
-            v = getattr(obj, f.name)
-            kw[f.name] = v[None] if (f.name in _CHAIN_FIELDS[cls] and v is not None) else v
-        return cls(**kw)
-
-    return ModelState(
-        y=state.y,
-        ycorr=state.ycorr[None],
-        e=go(state.e, ResidualState),
-        fixed=tuple(go(fs, FixedState) for fs in state.fixed),
-        random=tuple(
-            go(rs, type(rs))
-            for rs, rp in zip(state.random, plan.random)
-        ),
-        markers=tuple(go(ms, MarkerState) for ms in state.markers),
-        sweep_index=state.sweep_index[None],
-        corr_markers=tuple(go(cs, CorrMarkerState) for cs in state.corr_markers),
-    )
+    return _map_chain_fields(state, lambda v: v[None])
 
 
 def _sweep_local(plan: SweepPlan, state: ModelState, chain_key, ctx: ShardCtx) -> ModelState:

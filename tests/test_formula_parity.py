@@ -113,3 +113,53 @@ def test_correlated_prior_unknown_term(rng):
             "y ~ 1 + (1|g)", data,
             priors={("g", "h"): ng.Random("I", np.eye(2))},
         )
+
+
+def test_snp_map_kwarg_with_dict_genotypes(rng, tmp_path):
+    """SNP(name, map=...) with genotypes supplied via the dict must attach
+    the map (the optional source group used to swallow the map= argument
+    and drop it silently)."""
+    from nextgp_tpu.api.formula import parse_formula
+
+    n, p = 30, 8
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    mapf = tmp_path / "chip.map"
+    with open(mapf, "w") as fh:
+        fh.write("snpID,snpOrder,chrID\n")
+        for i in range(p):
+            fh.write(f"s{i},{i + 1},{1 if i < 5 else 2}\n")
+    spec = parse_formula(
+        f"y ~ 1 + SNP(geno, map={mapf})",
+        {"y": rng.normal(0, 1, n)},
+        priors={"geno": ng.BayesPR(99, 0.05)},
+        genotypes={"geno": g},
+        block_size=8,
+    )
+    md = spec.markers[0].data
+    assert md.chr_ids is not None and list(md.snp_ids)[:2] == ["s0", "s1"]
+    plan, _ = ng.assemble(spec)
+    assert plan.markers[0].n_regions == 2  # per-chromosome regions resolved
+
+
+def test_packed_genotypes_reject_pedigree_reorder(rng, tmp_path):
+    """Pedigree row reordering on a 2-bit packed panel would permute SNP
+    rows, not individuals — must error, not corrupt."""
+    from nextgp_tpu.api.formula import parse_formula
+    from nextgp_tpu.ops import pack2
+
+    n, p = 6, 8
+    g = rng.integers(0, 3, (n, p)).astype(np.int8)
+    md = ng.from_packed(pack2.pack2_np(g), n_ind=n, center=g.astype(float).mean(0))
+    ped = tmp_path / "ped.txt"
+    ids = [f"A{i}" for i in range(n)]
+    with open(ped, "w") as fh:
+        fh.write("id,sire,dam\n")
+        for i in reversed(range(n)):  # reversed: forces a re-sort
+            fh.write(f"A{i},0,0\n")
+    data = {"y": rng.normal(0, 1, n), "ID": np.array(ids)}
+    with pytest.raises(ValueError, match="packed"):
+        parse_formula(
+            "y ~ 1 + PED(ID) + SNP(geno)", data,
+            priors={"ID": ng.Random("A", 0.5), "geno": ng.BayesPR(9999, 0.05)},
+            path2ped=str(ped), genotypes={"geno": md}, block_size=8,
+        )

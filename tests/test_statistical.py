@@ -174,3 +174,31 @@ def test_fixed_effects_match_ols(rng):
             cnt += 1
     bhat = bsum / cnt
     np.testing.assert_allclose(bhat, ols, atol=0.12)
+
+
+def test_solve_mme_packed_vshard_storage(rng):
+    """solve_mme must normalize any storage layout (2-bit packed bytes,
+    vshard t-major rows) back to global-order dosages — treating either
+    raw layout as dosages solves a garbage system."""
+    import nextgp_tpu as ng
+
+    n, p = 60, 48
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = 1.0 + (g - g.mean(0)) @ rng.normal(0, 0.2, p) + rng.normal(0, 1, n)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), ng.BayesPR(9999, 0.05))],
+        block_size=8,
+    )
+    ve = 1.0
+    sols = {}
+    for kw in ({}, {"pack2": True, "use_pallas": True},
+               {"pack2": True, "use_pallas": True, "vshards": 3}):
+        plan, state = ng.assemble(spec, **kw)
+        sol, it, res = solve_mme(plan, state, jnp.asarray(ve))
+        sols[tuple(sorted(kw))] = np.asarray(sol["beta:M"])[:p]
+    base = sols[()]
+    for k, s in sols.items():
+        # marker betas come back in global locus order whatever the storage
+        np.testing.assert_allclose(s, base, atol=1e-4)
