@@ -21,15 +21,13 @@ from .engine.plan import SweepPlan
 
 
 @contextlib.contextmanager
-def trace(log_dir: str = "/tmp/nextgp_trace", host_profile: bool = False):
+def trace(log_dir: str = "/tmp/nextgp_trace"):
     """Capture a jax.profiler trace of the enclosed block (view with
     tensorboard / xprof). Stage attribution comes from the named scopes."""
     import jax
 
     with jax.profiler.trace(log_dir, create_perfetto_link=False):
         yield log_dir
-    if host_profile:
-        pass  # host profiling handled by the caller's own tooling
 
 
 # device peaks for roofline estimates (per chip, dense) — public figures
@@ -69,7 +67,10 @@ def roofline(plan: SweepPlan, device: str = "v5e", n_shards: int = 1) -> Rooflin
     correction rank-B update), the Gram blocks once, plus the in-block scan
     (p x B MACs) — SURVEY.md §3.5 re-derived for the blocked formulation.
     """
-    peaks = _DEVICE_PEAKS.get(device, _DEVICE_PEAKS["v5e"])
+    if device not in _DEVICE_PEAKS:
+        raise ValueError(
+            f"unknown device {device!r}; one of {sorted(_DEVICE_PEAKS)}")
+    peaks = _DEVICE_PEAKS[device]
     _, f32_tflops, hbm = peaks
     n = plan.n
     bytes_total = 0.0

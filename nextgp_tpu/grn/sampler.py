@@ -20,6 +20,8 @@ varBeta = 5e-4 per gene, scale = v*(df-2)/df.
 """
 from __future__ import annotations
 
+import functools
+
 import dataclasses
 from typing import Optional
 
@@ -66,8 +68,15 @@ def _pairs(G):
     return [(g, k) for g in range(G) for k in range(G) if k != g]
 
 
+@functools.lru_cache(maxsize=8)
+def _pairs_idx(G):
+    """Cached (G(G-1), 2) index array: the O(G^2) Python pair list and the
+    np conversion were rebuilt per kept sample in the output loop."""
+    return np.array(_pairs(G))
+
+
 def _lam1_matrix(lam1, G):
-    idx = np.array(_pairs(G))
+    idx = _pairs_idx(G)
     return jnp.zeros((G, G), lam1.dtype).at[idx[:, 0], idx[:, 1]].set(lam1)
 
 
@@ -81,7 +90,7 @@ def make_grn_step(plan: GRNPlan, xc, ytil, dtype=jnp.float64):
     assembles and inverts in milliseconds. This vertical is a small dense
     problem and stays single-device by design (SURVEY.md §2.5)."""
     G, S, N = plan.n_genes, plan.n_snps, plan.n_ind
-    pairs = np.array(_pairs(G))
+    pairs = _pairs_idx(G)
     n_l = len(pairs)
     yy = ytil @ ytil.T  # (G, G)
     excl = np.array([[k for k in range(G) if k != g] for g in range(G)])  # (G, G-1)
@@ -125,7 +134,10 @@ def make_grn_step(plan: GRNPlan, xc, ytil, dtype=jnp.float64):
         chol = jnp.linalg.cholesky(cov)
         z1 = jax.random.normal(k(2), (n_l,), dtype).reshape(G, G - 1)
         prop = (lam_mean + jnp.einsum("gij,gj->gi", chol, z1)).reshape(-1)
-        icov = jnp.linalg.inv(cov)
+        # icov has the closed form inv(ilhs*ve) = (yy_sub + ratio*I)/ve —
+        # a second batched inversion would double the Lambda1 cost and add
+        # round-trip inversion error to the MH quadratic
+        icov = (yy_sub + ratio * eye[None]) / var_e
         lam_mean_flat = lam_mean.reshape(-1)
 
         def log_target(lam_vec):

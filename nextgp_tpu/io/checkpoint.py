@@ -46,7 +46,17 @@ def save_checkpoint(path: str, state: Any, meta: Optional[Dict[str, Any]] = None
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
-    os.replace(tmp, path)
+        fh.flush()
+        os.fsync(fh.fileno())  # rename-before-data on power loss would
+    os.replace(tmp, path)      # destroy BOTH checkpoints otherwise
+    try:  # persist the rename itself
+        dfd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def read_meta(path: str) -> Dict[str, Any]:

@@ -34,15 +34,26 @@ def _so_path() -> str:
 
 
 def _compile(so: str) -> bool:
+    """Compile to a per-process temp path and os.replace() into place:
+    concurrent processes (pytest workers, multi-host launch) share the
+    cache path, and a reader must never dlopen a half-written ELF."""
     cxx = os.environ.get("CXX", "g++")
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = [
         cxx, "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        "-o", so, _SRC,
+        "-o", tmp, _SRC,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=240)
-        return r.returncode == 0 and os.path.exists(so)
+        if r.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, so)
+        return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -87,9 +98,16 @@ def lib() -> Optional[ctypes.CDLL]:
         try:
             dll = _bind(ctypes.CDLL(so))
             if dll.ng_version() != ABI_VERSION:
-                if not _compile(so):
+                # a stale/foreign binary at the hash-keyed path: rebuild to
+                # a FRESH path — recompiling over the mapped inode risks
+                # SIGBUS, and CDLL() on the same path would dedupe to the
+                # stale handle without re-verifying the version
+                so2 = f"{so[:-3]}-abi{ABI_VERSION}.so"
+                if not _compile(so2):
                     return None
-                dll = _bind(ctypes.CDLL(so))
+                dll = _bind(ctypes.CDLL(so2))
+                if dll.ng_version() != ABI_VERSION:
+                    return None
             _lib = dll
         except OSError:
             _lib = None

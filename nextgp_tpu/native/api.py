@@ -114,4 +114,5 @@ def write_tsv_block(path: str, block: np.ndarray) -> None:
         b = b[None, :]
     rc = dll.ng_write_tsv_block(path.encode(), _p(b, ctypes.c_double), b.shape[0], b.shape[1])
     if rc != 0:
-        raise OSError(f"cannot append to {path!r}")
+        reason = "partial write (disk full?)" if rc == 2 else "cannot open"
+        raise OSError(f"append to {path!r} failed: {reason}")

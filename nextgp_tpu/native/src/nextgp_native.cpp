@@ -109,6 +109,7 @@ inline int8_t parse_token(const char* s, const char* end, const char** pos) {
   for (const char* c = r; c < q; ++c) {
     if (*c >= '0' && *c <= '9') {
       v = v * 10 + (*c - '0');
+      if (v > 127) return -2;  // int8 wraparound would corrupt dosages
     } else if (*c == '.') {
       // accept trailing ".0" / ".00" only; other fractions are invalid
       for (const char* z = c + 1; z < q; ++z)
@@ -118,6 +119,7 @@ inline int8_t parse_token(const char* s, const char* end, const char** pos) {
       return -2;
     }
   }
+  if (neg && v != 1) return -2;  // only "-1" (missing) may be negative
   return static_cast<int8_t>(neg ? -v : v);
 }
 
@@ -130,8 +132,9 @@ int32_t ng_geno_dims(const char* path, int64_t* n_rows, int64_t* n_cols) {
   if (!m.ok()) return 1;
   const char* p = m.data;
   const char* end = m.data + m.size;
-  // columns: tokens on the first non-empty line
+  // columns: tokens on the first non-empty line (skip leading blanks)
   int64_t cols = 0;
+  while (p < end && (*p == '\n' || *p == '\r')) ++p;
   const char* line_end = p;
   while (line_end < end && *line_end != '\n') ++line_end;
   {
@@ -445,9 +448,12 @@ int32_t ng_write_tsv_block(const char* path, const double* data, int64_t rows,
       buf.insert(buf.end(), tmp, tmp + len);
     }
     buf.push_back('\n');
-    fwrite(buf.data(), 1, buf.size(), fh);
+    if (fwrite(buf.data(), 1, buf.size(), fh) != buf.size()) {
+      fclose(fh);
+      return 2;  // partial write (e.g. ENOSPC) must surface, not truncate
+    }
   }
-  fclose(fh);
+  if (fclose(fh) != 0) return 2;
   return 0;
 }
 

@@ -174,3 +174,30 @@ def test_make_g_file_overload(tmp_path, rng):
     path.write_text("\n".join(" ".join(map(str, r)) for r in g) + "\n")
     import numpy as np
     np.testing.assert_allclose(make_g(str(path)), make_g(g), atol=1e-12)
+
+
+def test_native_parser_out_of_range_tokens(tmp_path):
+    """Out-of-int8 tokens must fall back (fail loudly as non-integral), not
+    wrap: '256' previously parsed as dosage 0, '255' as missing, '254' hit
+    the error path by colliding with the invalid marker."""
+    from nextgp_tpu.data import ingest
+
+    path = tmp_path / "g.txt"
+    path.write_text("0 256 2\n1 130 0\n2 255 1\n")
+    md = ingest.read_genotype_file(str(path))  # falls back to float storage
+    assert md.genotypes.dtype == np.float64
+    np.testing.assert_allclose(md.genotypes[:, 1], [256.0, 130.0, 255.0])
+    path2 = tmp_path / "g2.txt"
+    path2.write_text("0 -2 2\n1 0 0\n")  # negative non-missing: float too
+    md2 = ingest.read_genotype_file(str(path2))
+    np.testing.assert_allclose(md2.genotypes[:, 1], [-2.0, 0.0])
+
+
+def test_native_parser_leading_blank_line(tmp_path):
+    from nextgp_tpu.data import ingest
+
+    path = tmp_path / "g.txt"
+    path.write_text("\n0 1 2\n1 0 2\n")
+    md = ingest.read_genotype_file(str(path))
+    assert md.genotypes.shape == (2, 3)
+    np.testing.assert_array_equal(md.genotypes, [[0, 1, 2], [1, 0, 2]])
