@@ -92,3 +92,49 @@ def test_run_lmem_resume_exact(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(full.state.ycorr), np.asarray(resumed.state.ycorr), atol=1e-12
     )
+
+
+def test_writer_failed_block_not_retried(tmp_path, monkeypatch):
+    """A failed block write must neither re-append already-written rows on
+    the next attempt (double-weighted draws) nor drop sibling quantities of
+    the same sample; the error surfaces at close()."""
+    import numpy as np
+    import pytest
+
+    from nextgp_tpu.io import writer as W
+
+    w = W.MCMCWriter(str(tmp_path), headers={"a": ["a1"], "b": ["b1"]},
+                     block_rows=2)
+    orig = w._write_block
+    fails = {"n": 0}
+
+    def flaky(name, rows):
+        if name == "a" and fails["n"] == 0:
+            fails["n"] += 1
+            raise OSError("disk full")
+        return orig(name, rows)
+
+    w._write_block = flaky
+    for i in range(6):
+        w.put({"a": np.array([float(i)]), "b": np.array([10.0 + i])})
+    with pytest.raises(OSError):
+        w.close()
+
+    # quantity b: all six rows landed exactly once
+    b = np.loadtxt(tmp_path / "bOut", skiprows=1)
+    np.testing.assert_allclose(b, 10.0 + np.arange(6.0))
+    # quantity a: the failed block (rows 0,1) is lost, NOT duplicated
+    a = np.atleast_1d(np.loadtxt(tmp_path / "aOut", skiprows=1))
+    assert a.tolist() == [2.0, 3.0, 4.0, 5.0]
+
+
+def test_writer_flush_after_close_is_noop(tmp_path):
+    import numpy as np
+
+    from nextgp_tpu.io import writer as W
+
+    w = W.MCMCWriter(str(tmp_path), headers={"a": ["a1"]})
+    w.put({"a": np.array([1.0])})
+    w.close()
+    w.flush()  # previously deadlocked forever
+    w.close()  # idempotent
