@@ -121,7 +121,9 @@ def test_geweke_joint(model):
 # clean Gibbs sampler of a fixed joint, so marginal-vs-successive moments
 # need not agree even for a faithful implementation. Those methods are
 # covered distributionally against the independent NumPy oracle instead
-# (scripts/ref_equiv/). The marginal-conditional side
+# (scripts/ref_equiv/). BayesLV's coefficient draw conditions on a FLAT
+# prior for c (functions.jl:473-476), making the joint improper — no
+# marginal-conditional simulator exists; LV is likewise oracle-covered. The marginal-conditional side
 # draws (var_e, var_beta, pi, delta, beta) from the exact prior the engine's
 # conditionals imply (functions.jl:197-289, 523-538):
 #   var_e    ~ df_e*scale_e / chi2(df_e)            df_e = 4 (mme.jl:87)
