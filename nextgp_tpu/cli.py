@@ -6,6 +6,7 @@ Here a JSON (or TOML) config compiles to the same pipeline:
 
     python -m nextgp_tpu run analysis.json
     python -m nextgp_tpu summary betaM --out-folder outMCMC
+    python -m nextgp_tpu diag varE --out-folder outMCMC   # multi-chain R-hat/ESS
     python -m nextgp_tpu roofline analysis.json --device v5e
 
 Config schema (all paths relative to the config file):
@@ -20,7 +21,8 @@ Config schema (all paths relative to the config file):
                     "e":  {"type": "Random", "str": "I", "v": 1.0}},
       "blocks":    [["x1", "x2"]],               # joint fixed-effect blocks
       "hints":     {"farm": "full_dummy"},
-      "chain":     {"length": 50000, "burnin": 5000, "thin": 10, "seed": 1},
+      "chain":     {"length": 50000, "burnin": 5000, "thin": 10, "seed": 1,
+                    "chains": 4},               # >1 = data-parallel run_chains + R-hat/ESS
       "block_size": 512,
       "vshards":   "auto",                       # or an int; "auto" = tuned TPU schedule
       "out_folder": "outMCMC"
@@ -135,7 +137,7 @@ def _parse_vshards(v):
 
 
 def cmd_run(args) -> int:
-    from .runtime import run_lmem
+    from .runtime import run_chains, run_lmem
 
     cfg = _load_config(args.config)
     base = os.path.dirname(os.path.abspath(args.config))
@@ -144,6 +146,31 @@ def cmd_run(args) -> int:
     out_folder = cfg.get("out_folder", "outMCMC")
     if not os.path.isabs(out_folder):
         out_folder = os.path.join(base, out_folder)
+    n_chains = int(ch.get("chains", 1))
+    if n_chains > 1:
+        # data-parallel chains over the device mesh with built-in R-hat/ESS
+        out = run_chains(
+            spec,
+            n_chains=n_chains,
+            n_chain=int(ch.get("length", 5000)),
+            n_burn=int(ch.get("burnin", 1000)),
+            n_thin=int(ch.get("thin", 10)),
+            seed=int(ch.get("seed", 0)),
+            track=ch.get("track", "all"),
+            out_folder=out_folder,
+            vshards=_parse_vshards(cfg.get("vshards", "auto")),
+            checkpoint_every=int(ch.get("checkpoint_every", 0)),
+            resume=args.resume,
+            progress=not args.quiet,
+        )
+        worst = max(
+            (float(np.nanmax(v)) for v in out["rhat"].values()
+             if np.isfinite(v).any()),
+            default=float("nan"),
+        )
+        print(f"done: {n_chains} chains in {out_folder}; "
+              f"worst split-Rhat {worst:.3f}")
+        return 0
     res = run_lmem(
         spec,
         n_chain=int(ch.get("length", 5000)),
@@ -159,6 +186,30 @@ def cmd_run(args) -> int:
     )
     print(f"done: {res.sweeps_per_sec:.1f} sweeps/s, output in {out_folder}")
     return 0
+
+
+def cmd_diag(args) -> int:
+    """Cross-chain split-Rhat/ESS from run_chains output folders."""
+    import glob as _glob
+
+    from .io.summary import ess_bulk, read_samples, split_rhat
+
+    folders = sorted(_glob.glob(os.path.join(args.out_folder, "chain*")))
+    if len(folders) < 2:
+        print(f"need >=2 chain folders under {args.out_folder} "
+              f"(found {len(folders)}); run with chain.chains > 1", file=sys.stderr)
+        return 1
+    chains = np.stack([read_samples(args.param, f) for f in folders])
+    rhat = split_rhat(chains)
+    ess = ess_bulk(chains)
+    print(f"{args.param}: {chains.shape[0]} chains x {chains.shape[1]} draws")
+    print("split-Rhat: " + " ".join(f"{v:.4f}" for v in np.atleast_1d(rhat)[:8])
+          + (" ..." if np.atleast_1d(rhat).size > 8 else ""))
+    print("ESS:        " + " ".join(f"{v:.1f}" for v in np.atleast_1d(ess)[:8])
+          + (" ..." if np.atleast_1d(ess).size > 8 else ""))
+    worst = float(np.nanmax(rhat))
+    print(f"worst Rhat {worst:.4f} -> {'OK (< 1.05)' if worst < 1.05 else 'NOT CONVERGED'}")
+    return 0 if worst < 1.05 else 2
 
 
 def cmd_summary(args) -> int:
@@ -198,6 +249,10 @@ def main(argv=None) -> int:
     rf.add_argument("--device", default="v5e")
     rf.add_argument("--shards", type=int, default=1)
     rf.set_defaults(fn=cmd_roofline)
+    dg = sub.add_parser("diag", help="cross-chain split-Rhat/ESS from run_chains output")
+    dg.add_argument("param")
+    dg.add_argument("--out-folder", default="outMCMC")
+    dg.set_defaults(fn=cmd_diag)
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -354,7 +354,17 @@ def run_chains(
     if mesh is None:
         n_dev = len(jax.devices())
         if n_shards is None:
-            n_shards = max(1, n_dev // n_chains) if n_chains <= n_dev else 1
+            # largest shard count <= devices/chains that every marker set's
+            # block/vshard layout divides (an arbitrary default like
+            # n_dev//n_chains rejects small models with few blocks)
+            cap = max(1, n_dev // n_chains) if n_chains <= n_dev else 1
+            n_shards = next(
+                (s for s in range(cap, 0, -1)
+                 if all((mp.vshards % s == 0) if mp.vshards > 1
+                        else (mp.n_blocks % s == 0) for mp in plan.markers)
+                 and all(cp.n_blocks % s == 0 for cp in plan.corr_markers)),
+                1,
+            )
         mesh = sharded.make_mesh(n_chains, n_shards,
                                  devices=jax.devices()[: n_chains * n_shards])
     batched = sharded.distribute(plan, state, mesh, n_chains)

@@ -63,3 +63,39 @@ def test_cli_prior_errors(tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "unknown prior" in str(e)
+
+
+def test_cli_multichain_and_diag(tmp_path, rng, capsys):
+    """chain.chains > 1 routes through run_chains (per-chain folders +
+    R-hat summary); the diag subcommand reads them back."""
+    n, p = 50, 24
+    g = rng.integers(0, 3, (n, p))
+    y = 1.0 + (g - g.mean(0)) @ rng.normal(0, 0.2, p) + rng.normal(0, 1, n)
+    sex = rng.integers(0, 2, n)
+    with open(tmp_path / "pheno.csv", "w") as fh:
+        fh.write("y,sex\n")
+        for v, sx in zip(y, sex):
+            fh.write(f"{v},{sx}\n")
+    np.savetxt(tmp_path / "geno.txt", g, fmt="%d")
+    cfg = {
+        "formula": "y ~ 1 + SNP(M)",
+        "data": "pheno.csv",
+        "genotypes": {"M": "geno.txt"},
+        "priors": {"M": {"type": "BayesPR", "r": 9999, "v": 0.05}},
+        "chain": {"length": 200, "burnin": 50, "thin": 10, "seed": 2,
+                  "chains": 2, "track": ["varE", "betaM"]},
+        "block_size": 8,
+        "out_folder": "out",
+    }
+    cfg_path = tmp_path / "analysis.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = cli.main(["run", str(cfg_path), "--quiet"])
+    assert rc == 0
+    assert (tmp_path / "out" / "chain1" / "varEOut").exists()
+    assert (tmp_path / "out" / "chain2" / "varEOut").exists()
+    assert "Rhat" in capsys.readouterr().out
+
+    rc = cli.main(["diag", "varE", "--out-folder", str(tmp_path / "out")])
+    out = capsys.readouterr().out
+    assert "split-Rhat" in out and "ESS" in out
+    assert rc in (0, 2)
