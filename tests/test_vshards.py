@@ -131,7 +131,8 @@ def test_vshards_recovers_signal(rng):
 
 def test_vshards_fallback_when_indivisible(rng):
     spec, _, _ = _spec(rng)
-    plan, _ = ng.assemble(spec, vshards=5)  # nb=6, largest divisor <= 5 is 3
+    with pytest.warns(UserWarning, match="largest divisor"):
+        plan, _ = ng.assemble(spec, vshards=5)  # nb=6 -> V floors to 3
     assert plan.markers[0].vshards == 3
 
 
