@@ -42,6 +42,8 @@ elseif method == "BayesPR_D" || method == "BayesPR_Z"
     BayesPR(9999, 0.05)
 elseif method == "BayesC_D"
     BayesC(0.1, 0.05; estimatePi=true)
+elseif method == "BayesR_D"
+    BayesR([0.9, 0.05, 0.03, 0.02], [0.0, 1e-4, 1e-3, 1e-2], 1.0; estimatePi=true)
 else
     error("unknown method $method")
 end

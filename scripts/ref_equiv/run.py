@@ -61,7 +61,7 @@ ALL_METHODS = ["BayesPR", "BayesB", "BayesC", "BayesR",
                "BayesRCpi", "BayesRCplus", "BayesLV",
                # weighted-residual ("D") corner: same samplers with the
                # committed heteroscedastic weight vector (mme.jl:71-75)
-               "BayesPR_D", "BayesC_D",
+               "BayesPR_D", "BayesC_D", "BayesR_D",
                # iid (1|grp) random-effect corner: sampleZ!/sampleU scan
                # (functions.jl:57-97) + sampleVarU, vs the same in the oracle
                "BayesPR_Z"]
