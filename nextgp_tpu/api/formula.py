@@ -166,11 +166,13 @@ def parse_formula(
             if src is not None and mapf is None and "=" in src:
                 # SNP(name, map=...) with genotypes supplied via the dict:
                 # the optional src group would greedily swallow the map=
-                # argument and the map would be silently dropped
+                # argument and the map would be silently dropped. Only a
+                # bare-identifier prefix counts as a keyword — a positional
+                # path like data/run=2/geno.txt must keep parsing as a path.
                 key, _, val = src.partition("=")
                 if key.strip() == "map":
                     src, mapf = None, val
-                else:
+                elif re.fullmatch(r"\w+", key.strip()):
                     raise ValueError(
                         f"unrecognized SNP(...) keyword argument {key.strip()!r}")
             md = _resolve_markers(name, src, mapf, genotypes)

@@ -107,6 +107,9 @@ class CorrMarkerPlan:
     n_blocks: int
     n_regions: int
     df: float
+    # V > 1 advances V block chains per superstep (same schedule a V-device
+    # sharded run uses), mirroring MarkerPlan.vshards for the corr path
+    vshards: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -666,9 +669,14 @@ def _build_marker(term: MarkerTerm, d_inv, ss, block, dtype, rng, use_pallas=Fal
     return ms, mp
 
 
-def _build_corr_marker(term, block, dtype):
+def _build_corr_marker(term, block, dtype, vshards=1):
     """Correlated marker sets (mme.jl:448-489): per-locus stacked columns,
-    (nT, nT) cross-Gram blocks, shared map, BayesPR-only semantics."""
+    (nT, nT) cross-Gram blocks, shared map, BayesPR-only semantics.
+
+    vshards: V > 1 runs the V-wide block-synchronous schedule (chain v owns
+    contiguous blocks [v*T, (v+1)*T)), identical to a V-device sharded run —
+    "auto" resolves to 1 (sequential reference order; the corr path has no
+    Pallas kernel yet, so there is no tuned on-chip V)."""
     from ..api.priors import BayesPR
     from .state import CorrMarkerState
 
@@ -694,6 +702,17 @@ def _build_corr_marker(term, block, dtype):
     block = min(block, max(8, 1 << (p - 1).bit_length()))
     p_pad = cdiv(p, block) * block
     nb = p_pad // block
+    vreq = 1 if (not vshards or vshards == "auto") else int(vshards)
+    vsh = max(v for v in range(1, vreq + 1) if nb % v == 0) if vreq > 1 else 1
+    if vreq > 1 and vsh != vreq:
+        import warnings
+
+        warnings.warn(
+            f"correlated marker set {'+'.join(term.names)}: vshards={vreq} "
+            f"does not divide the block count nb={nb}; using the largest "
+            f"divisor V={vsh}.",
+            stacklevel=3,
+        )
     info = build_regions(p, prior.r, chr_ids)
     region_id = np.concatenate([info.region_id, np.full(p_pad - p, info.n_regions, np.int32)])
 
@@ -735,7 +754,7 @@ def _build_corr_marker(term, block, dtype):
     )
     pl_ = CorrMarkerPlan(
         names=tuple(term.names), n_t=n_t, p=p, p_pad=p_pad, block=block,
-        n_blocks=nb, n_regions=info.n_regions, df=df,
+        n_blocks=nb, n_regions=info.n_regions, df=df, vshards=vsh,
     )
     return st, pl_
 
@@ -823,7 +842,7 @@ def assemble(
 
     corr_states, corr_plans = [], []
     for t in getattr(spec, "corr_markers", []):
-        st, pl_ = _build_corr_marker(t, bs, dtype)
+        st, pl_ = _build_corr_marker(t, bs, dtype, vshards=vshards)
         corr_states.append(st)
         corr_plans.append(pl_)
 

@@ -575,14 +575,15 @@ def _sweep_rcpi(key, ms, mp: MarkerPlan, ycorr, var_e, d_inv, ctx):
     unif_a = _runif(kua, mp, ctx, p_l, dtype)
     unif_v = _runif(kuv, mp, ctx, p_l, dtype)
     # pre-generated Dirichlet gammas for sampleProb (functions.jl:541-544):
-    # alpha = annotInput (+1 at the sampled annotation). Shapes are
-    # shard-local, so fold the shard index instead of slicing a global draw.
-    if ctx.axis is not None:
-        kg1 = jax.random.fold_in(kg1, ctx.index)
-        kg2 = jax.random.fold_in(kg2, ctx.index)
+    # alpha = annotInput (+1 at the sampled annotation). annot_input is
+    # REPLICATED across shards (parallel/sharded.py) so the gammas can be
+    # drawn at global p_pad length and sliced per shard like every other
+    # stream — a per-shard fold_in here made the sharded RCpi chain a
+    # different chain from the single-device vshards run, breaking the
+    # bit-equality invariant the multichip artifact certifies.
     a_in = ms.annot_input
-    g1 = jax.random.gamma(kg1, jnp.maximum(a_in, 1e-6)).astype(dtype)
-    g2 = jax.random.gamma(kg2, a_in + 1.0).astype(dtype)
+    g1 = ctx.slice_p(jax.random.gamma(kg1, jnp.maximum(a_in, 1e-6)), p_l).astype(dtype)
+    g2 = ctx.slice_p(jax.random.gamma(kg2, a_in + 1.0), p_l).astype(dtype)
     ive = 1.0 / var_e
     varc = ms.var_beta[:, None] * ms.v_class[None, :]  # (nA, K)
     log_pi = ms.log_pi  # (nA, K)
@@ -879,8 +880,9 @@ def sample_corr_marker_set(key, ms, cp, ycorr, var_e, ctx: ShardCtx = UNSHARDED)
     zb = z.reshape(nb_l, cp.block, n_t)
     ivb = ivr_locus.reshape(nb_l, cp.block, n_t, n_t)
 
-    def block_body(ycorr, xs):
-        mtb, cb, gramb, mpmb, maskb, bold_b, zjb, ivbb = xs
+    def block_update(ycorr, mtb, cb, gramb, mpmb, maskb, bold_b, zjb, ivbb):
+        """One block's sequential locus scan against a frozen residual;
+        returns (correction (n,), beta_new (B, nT))."""
         mtf = mtb.astype(dtype)  # (B, nT, n)
         sumy = jnp.sum(ycorr)
         r0 = jnp.einsum("ltn,n->lt", mtf, ycorr) - cb * sumy  # (B, nT)
@@ -903,12 +905,40 @@ def sample_corr_marker_set(key, ms, cp, ycorr, var_e, ctx: ShardCtx = UNSHARDED)
             body, u0,
             (jnp.arange(cp.block), r0, bold_b, zjb, ivbb, mpmb, maskb))
         correction = jnp.einsum("lt,ltn->n", u, mtf) - jnp.einsum("lt,lt->", u, cb)
-        return ycorr + ctx.psum(correction), beta_new_b
+        return correction, beta_new_b
 
     xs = (ms.mt, ms.center, ms.gram, ms.mpm, ms.mask,
           ms.beta.reshape(nb_l, cp.block, n_t), zb, ivb)
-    ycorr, beta_b = lax.scan(block_body, ycorr, xs)
-    beta = beta_b.reshape(p_l, n_t)
+
+    # local virtual-shard count: chain v owns contiguous local blocks
+    # [v*T, (v+1)*T); under device sharding each device holds its share
+    # V_total / n_shards, so the composed schedule is the single-device
+    # V_total-wide chain (same invariant as the plain marker path)
+    V = getattr(cp, "vshards", 1)
+    if ctx.axis is not None:
+        V = max(1, V // ctx.n_shards)
+    if V <= 1:
+        def block_body(ycorr, xs_b):
+            correction, beta_new_b = block_update(ycorr, *xs_b)
+            return ycorr + ctx.psum(correction), beta_new_b
+
+        ycorr, beta_b = lax.scan(block_body, ycorr, xs)
+        beta = beta_b.reshape(p_l, n_t)
+    else:
+        T = nb_l // V
+
+        def regroup(a):
+            return jnp.swapaxes(a.reshape((V, T) + a.shape[1:]), 0, 1)
+
+        xs_t = tuple(regroup(a) for a in xs)
+
+        def superstep(ycorr, xs_v):  # each leaf (V, B, ...)
+            corr_v, beta_v = jax.vmap(
+                lambda *leaves: block_update(ycorr, *leaves))(*xs_v)
+            return ycorr + ctx.psum(jnp.sum(corr_v, axis=0)), beta_v
+
+        ycorr, beta_tv = lax.scan(superstep, ycorr, xs_t)  # (T, V, B, nT)
+        beta = jnp.swapaxes(beta_tv, 0, 1).reshape(p_l, n_t)
 
     # per-region InverseWishart (functions.jl:152, :513-516)
     outer = beta[:, :, None] * beta[:, None, :]

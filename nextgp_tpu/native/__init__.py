@@ -103,11 +103,22 @@ def lib() -> Optional[ctypes.CDLL]:
                 # SIGBUS, and CDLL() on the same path would dedupe to the
                 # stale handle without re-verifying the version
                 so2 = f"{so[:-3]}-abi{ABI_VERSION}.so"
-                if not _compile(so2):
-                    return None
-                dll = _bind(ctypes.CDLL(so2))
-                if dll.ng_version() != ABI_VERSION:
-                    return None
+                dll = None
+                if os.path.exists(so2):
+                    # a prior process already rebuilt the fallback: reuse it
+                    # instead of paying the per-process recompile
+                    try:
+                        cand = _bind(ctypes.CDLL(so2))
+                        if cand.ng_version() == ABI_VERSION:
+                            dll = cand
+                    except OSError:
+                        dll = None
+                if dll is None:
+                    if not _compile(so2):
+                        return None
+                    dll = _bind(ctypes.CDLL(so2))
+                    if dll.ng_version() != ABI_VERSION:
+                        return None
             _lib = dll
         except OSError:
             _lib = None

@@ -63,9 +63,12 @@ _CHAIN_FIELDS = {
                   "annot_cat", "log_var", "lv_c", "lv_resid", "var_zeta"),
     CorrMarkerState: ("beta", "var_beta"),
 }
-# MarkerState fields sharded along their leading (block or locus) axis
+# MarkerState fields sharded along their leading (block or locus) axis.
+# annot_input stays REPLICATED: it is the (static, small) alpha array for
+# the RCpi sampleProb gammas, which are drawn at global length and sliced
+# per shard so the stream — hence the chain — is shard-invariant.
 _SHARD_STATIC = ("mt", "center", "gram", "gram_raw", "mpm", "lhs_ss", "rhs_ss",
-                 "mask", "region_id", "annot_input", "annot_nz", "lv_design")
+                 "mask", "region_id", "annot_nz", "lv_design")
 # chain fields additionally sharded along the locus axis
 _SHARD_CHAIN = ("beta", "delta", "annot_prob", "annot_cat", "log_var", "lv_resid")
 
@@ -253,7 +256,14 @@ def _sweep_local(plan: SweepPlan, state: ModelState, chain_key, ctx: ShardCtx) -
 
 def _check_shardable(plan: SweepPlan, n_shards: int) -> None:
     for cp in plan.corr_markers:
-        if cp.n_blocks % n_shards:
+        if cp.vshards > 1:
+            if cp.vshards % n_shards:
+                raise ValueError(
+                    f"correlated marker set {'+'.join(cp.names)}: vshards="
+                    f"{cp.vshards} must be a multiple of n_shards={n_shards} "
+                    f"— assemble with vshards = k * n_shards"
+                )
+        elif cp.n_blocks % n_shards:
             raise ValueError(
                 f"correlated marker set {'+'.join(cp.names)}: n_blocks="
                 f"{cp.n_blocks} is not divisible by n_shards={n_shards}; "

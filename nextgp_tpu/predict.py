@@ -86,29 +86,35 @@ def genomic_values_state(plan, state, marker: int = 0, beta=None):
     mp = plan.markers[marker]
     ms = state.markers[marker]
     dtype = state.ycorr.dtype
+    # compute in the engine dtype so f64/x64 runs get f64-precision EBVs;
+    # the packed kernel is f32 by construction, so that path stays f32
+    # (documented below) regardless of backend
+    ctype = dtype if (not mp.packed and dtype == jnp.float64) else jnp.float32
     if beta is None:
-        b_flat = ms.beta.astype(jnp.float32)
+        b_flat = ms.beta.astype(ctype)
     else:
-        b_flat = jnp.zeros((mp.p_pad,), jnp.float32).at[: mp.p].set(
-            jnp.asarray(beta, jnp.float32).reshape(-1)[: mp.p])
+        b_flat = jnp.zeros((mp.p_pad,), ctype).at[: mp.p].set(
+            jnp.asarray(beta, ctype).reshape(-1)[: mp.p])
 
     mt = ms.mt
     if mt.ndim == 4:  # vshard layout (T, V, B, ncol); storage row (t, v, b)
         T, V, B = mt.shape[:3]
         u = jnp.swapaxes(b_flat.reshape(V, T, B), 0, 1).reshape(-1)
-        cen = ms.center.reshape(-1).astype(jnp.float32)  # same (T, V, B) order
+        cen = ms.center.reshape(-1).astype(ctype)  # same (T, V, B) order
     else:
         u = b_flat
-        cen = ms.center.reshape(-1).astype(jnp.float32)
+        cen = ms.center.reshape(-1).astype(ctype)
     offset = jnp.dot(cen, u)
 
     rows = mt.reshape(-1, mt.shape[-1])
     if mp.packed:
+        # pack2.rank_update contracts in f32 (kernel dtype); on x64 runs the
+        # result is f32-accurate, matching the on-TPU serving path
         interp = jax.default_backend() != "tpu"
         planar = pack2.rank_update(rows, u, interpret=interp)
         g = planar[:4].reshape(-1)[: plan.n]
     else:
-        g = (u @ rows.astype(jnp.float32))[: plan.n]
+        g = (u @ rows.astype(ctype))[: plan.n]
     return (g - offset).astype(dtype)
 
 

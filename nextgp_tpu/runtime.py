@@ -258,7 +258,6 @@ def run_lmem(
     # the reference rule (burn+thin):thin:chain for every input
     # (samplers.jl:26)
     n_keep = (n_chain - n_burn) // n_thin
-    burn_rem = n_burn % n_thin
     t0 = time.perf_counter()
     if done_sweeps < n_burn:
         for _ in range((n_burn - done_sweeps) // n_thin):
@@ -348,6 +347,7 @@ def run_chains(
     resuming = bool(resume and ckpt_path and os.path.exists(ckpt_path))
     if out_folder and not resuming:
         folder_handler(out_folder)
+        _write_group_infos(spec, out_folder)
 
     plan, state = assemble(spec, dtype=dtype, vshards=vshards)
     fingerprint = plan_fingerprint(plan)
@@ -362,7 +362,9 @@ def run_chains(
                 (s for s in range(cap, 0, -1)
                  if all((mp.vshards % s == 0) if mp.vshards > 1
                         else (mp.n_blocks % s == 0) for mp in plan.markers)
-                 and all(cp.n_blocks % s == 0 for cp in plan.corr_markers)),
+                 and all((cp.vshards % s == 0) if cp.vshards > 1
+                         else (cp.n_blocks % s == 0)
+                         for cp in plan.corr_markers)),
                 1,
             )
         mesh = sharded.make_mesh(n_chains, n_shards,

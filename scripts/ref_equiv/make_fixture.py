@@ -45,6 +45,7 @@ def main():
         for v in beta:
             fh.write(f"{v:.17g}\n")
     write_extras(rng, fx, qtl)
+    write_mme_extras(fx, gc)
     print(f"fixture written: {N} x {P}, h2={h2}, varE={ve:.3f}")
 
 
@@ -67,6 +68,89 @@ def write_extras(rng, fx, qtl):
     # iid grouping factor for the (1|grp) random-effect variant
     grp = rng.integers(0, 20, N)
     np.savetxt(os.path.join(fx, "groups.txt"), grp, fmt="%d")
+
+
+def write_mme_extras(fx, gc1):
+    """Composite-model fixture (VERDICT r4 next-item 2): pedigree, record ->
+    animal map, per-locus chromosome map, a second genotype panel, summary
+    statistics with v = inf entries (the mme.jl:316-322 guard), a blocked
+    fixed design, and a composite phenotype carrying marker + additive +
+    maternal + fixed signal. Own seed stream so the original fixture files
+    stay byte-identical."""
+    rng = np.random.default_rng(SEED + 1)
+    Q = 60  # pedigree animals, topologically ordered, 12 founders
+    sire = np.full(Q, -1, np.int64)
+    dam = np.full(Q, -1, np.int64)
+    for i in range(12, Q):
+        s, d = rng.integers(0, i, 2)
+        if s != d:
+            sire[i], dam[i] = s, d
+    with open(os.path.join(fx, "pedigree.txt"), "w") as fh:
+        fh.write("id sire dam\n")
+        for i in range(Q):
+            s = f"A{sire[i] + 1}" if sire[i] >= 0 else "0"
+            d = f"A{dam[i] + 1}" if dam[i] >= 0 else "0"
+            fh.write(f"A{i + 1} {s} {d}\n")
+    animal = rng.integers(0, Q, N)
+    np.savetxt(os.path.join(fx, "animal.txt"), animal, fmt="%d")
+
+    # map: 3 chromosomes x 400 loci (sorted; integer ids 1..3 as the
+    # reference's accRegionVec indexing assumes, misc.jl:178-190)
+    chr_ids = np.repeat([1, 2, 3], P // 3)
+    np.savetxt(os.path.join(fx, "map_chr.txt"), chr_ids, fmt="%d")
+
+    # second panel with its own sparse signal
+    g2 = rng.integers(0, 3, (N, P))
+    with open(os.path.join(fx, "geno2.txt"), "w") as fh:
+        for row in g2:
+            fh.write(" ".join(map(str, row)) + "\n")
+    beta2 = np.zeros(P)
+    qtl2 = rng.choice(P, 40, replace=False)
+    beta2[qtl2] = rng.normal(0.0, 0.3, 40)
+
+    # summary statistics for M1: noisy per-locus estimates; ~5% of v
+    # entries are inf (no information; exercises the Inf/NaN guard)
+    truth = np.loadtxt(os.path.join(fx, "truth.csv"), skiprows=1)
+    ss_m = truth + rng.normal(0.0, 0.15, P)
+    ss_v = rng.uniform(0.05, 0.5, P)
+    ss_v[rng.choice(P, P // 20, replace=False)] = np.inf
+    np.savetxt(os.path.join(fx, "ss_m.txt"), ss_m, fmt="%.17g")
+    np.savetxt(os.path.join(fx, "ss_v.txt"), ss_v, fmt="%.17g")
+
+    # blocked fixed design: sex 0/1 + centered age covariate
+    sex = rng.integers(0, 2, N).astype(np.float64)
+    age = rng.normal(0.0, 1.0, N)
+    age -= age.mean()
+    np.savetxt(os.path.join(fx, "sex.txt"), sex, fmt="%d")
+    np.savetxt(os.path.join(fx, "age.txt"), age, fmt="%.17g")
+
+    # pedigree-simulated additive values a ~ N(0, A * 1.5) via the
+    # recursion a_i = 0.5(a_s + a_d) + mendelian, plus a maternal effect
+    # m ~ N(0, 0.8 I) on the dam, correlated with a (rho ~ 0.3)
+    va, vm = 1.5, 0.8
+    a = np.zeros(Q)
+    for i in range(Q):
+        if sire[i] >= 0 and dam[i] >= 0:
+            a[i] = 0.5 * (a[sire[i]] + a[dam[i]]) + rng.normal(
+                0.0, np.sqrt(0.5 * va))
+        else:
+            a[i] = rng.normal(0.0, np.sqrt(va))
+    m_eff = 0.3 * a + rng.normal(0.0, np.sqrt(vm), Q)
+    gc2 = g2 - g2.mean(axis=0)
+    sig = gc1 @ np.loadtxt(os.path.join(fx, "truth.csv"), skiprows=1)
+    sig2 = gc2 @ beta2
+    dam_of = dam[animal]  # -1 where unknown
+    mat = np.where(dam_of >= 0, m_eff[np.maximum(dam_of, 0)], 0.0)
+    y2 = (10.0 + 0.4 * sex + 0.3 * age + sig + sig2 + a[animal] + mat
+          + rng.normal(0.0, 1.2, N))
+    with open(os.path.join(fx, "pheno_mme.csv"), "w") as fh:
+        fh.write("ID,y\n")
+        for i, v in enumerate(y2):
+            fh.write(f"ind{i + 1},{v:.17g}\n")
+    with open(os.path.join(fx, "truth2.csv"), "w") as fh:
+        fh.write("beta\n")
+        for v in beta2:
+            fh.write(f"{v:.17g}\n")
 
 
 if __name__ == "__main__":

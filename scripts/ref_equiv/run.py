@@ -61,10 +61,17 @@ ALL_METHODS = ["BayesPR", "BayesB", "BayesC", "BayesR",
                "BayesRCpi", "BayesRCplus", "BayesLV",
                # weighted-residual ("D") corner: same samplers with the
                # committed heteroscedastic weight vector (mme.jl:71-75)
-               "BayesPR_D", "BayesC_D", "BayesR_D",
+               "BayesPR_D", "BayesC_D", "BayesR_D", "BayesLV_D",
                # iid (1|grp) random-effect corner: sampleZ!/sampleU scan
                # (functions.jl:57-97) + sampleVarU, vs the same in the oracle
                "BayesPR_Z"]
+
+# composite MME variants vs the independent oracle_mme chain (VERDICT r4
+# next-item 2): pedigree A^-1, correlated random tuple, correlated marker
+# sets, multi-set + blocked fixed + SummaryStatistics, windowed and
+# per-chromosome BayesPR regions
+COMPOSITES = ["MME_PED", "MME_CorrZ", "MME_CorrM", "MME_MultiSS",
+              "MME_Window", "MME_Chrom"]
 
 PRIORS = {
     "BayesPR": {"v": 0.05},
