@@ -254,6 +254,29 @@ def _build_random(term: RandomTerm, d_inv, dtype):
         zs = tuple(np.asarray(z, dtype=np.float64) for z in term.z)
         n_t = len(zs)
         q = zs[0].shape[1]
+        # Parity footnote: the reference's tuple sampleU (functions.jl:75-88)
+        # computes Yi from the fully-restored residual and never removes
+        # cross-LEVEL likelihood couplings, so the update is an exact Gibbs
+        # conditional only when every record hits the same level in all
+        # components (Z_i'Z_l = 0 for l != i). With distinct incidences
+        # (e.g. maternal ID/Dam) the chain double-counts and diverges —
+        # reproduced independently in scripts/ref_equiv/oracle_mme.py. We
+        # mirror the reference (equivalence first) but warn loudly.
+        cross_ok = all(
+            np.array_equal(zs[0] != 0.0, zt != 0.0) for zt in zs[1:]
+        )
+        if not cross_ok:
+            import warnings
+
+            warnings.warn(
+                f"correlated random effect {term.name}: components have "
+                "different incidence patterns. The reference's tuple sampler "
+                "(functions.jl:75-88) omits cross-level likelihood couplings "
+                "and is NOT a valid Gibbs sampler in this case — variance "
+                "chains typically diverge. Use a shared incidence (same "
+                "factor) per component, or separate uncorrelated terms.",
+                stacklevel=3,
+            )
         df = _df_for(v)
         vmat = np.asarray(v, dtype=np.float64)
         if vmat.ndim != 2 or vmat.shape != (n_t, n_t):

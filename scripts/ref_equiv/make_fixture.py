@@ -46,6 +46,7 @@ def main():
             fh.write(f"{v:.17g}\n")
     write_extras(rng, fx, qtl)
     write_mme_extras(fx, gc)
+    write_grn_fixture(fx)
     print(f"fixture written: {N} x {P}, h2={h2}, varE={ve:.3f}")
 
 
@@ -151,6 +152,28 @@ def write_mme_extras(fx, gc1):
         fh.write("beta\n")
         for v in beta2:
             fh.write(f"{v:.17g}\n")
+
+
+def write_grn_fixture(fx):
+    """Small planted GRN problem (GRN.jl surface): G genes, S = 2G SNPs,
+    N individuals; Y = inv(I - L1) (mu + L2 Xc + e)."""
+    rng = np.random.default_rng(SEED + 2)
+    G, S, Nn = 5, 10, 150
+    x = rng.integers(0, 3, (S, Nn)).astype(np.float64)
+    xc = x - x.mean(axis=1, keepdims=True)
+    l1 = np.zeros((G, G))
+    l1[1, 0], l1[2, 1], l1[3, 4] = 0.45, -0.35, 0.3
+    l2 = np.zeros((G, S))
+    for g in range(G):
+        l2[g, 2 * g] = rng.normal(0.6, 0.1)
+        l2[g, 2 * g + 1] = rng.normal(-0.4, 0.1)
+    mu = rng.normal(0.0, 1.0, G)
+    e = rng.normal(0.0, 0.5, (G, Nn))
+    yy = np.linalg.solve(np.eye(G) - l1, mu[:, None] + l2 @ xc + e)
+    np.savetxt(os.path.join(fx, "grn_x.txt"), x, fmt="%d")
+    np.savetxt(os.path.join(fx, "grn_y.txt"), yy, fmt="%.17g")
+    np.savetxt(os.path.join(fx, "grn_l1_true.txt"), l1, fmt="%.17g")
+    np.savetxt(os.path.join(fx, "grn_l2_true.txt"), l2, fmt="%.17g")
 
 
 if __name__ == "__main__":

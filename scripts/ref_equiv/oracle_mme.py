@@ -106,15 +106,21 @@ def _mvn(rng, mean, cov):
 
 
 def _inv_wishart(rng, df, S):
-    """InverseWishart(df, S) via Bartlett on Wishart(df, inv(S))."""
+    """InverseWishart(df, S) via Bartlett on Wishart(df, inv(S)).
+
+    The scale factor M = inv(chol(S))' satisfies M M' = inv(S) (any square
+    root works for the Wishart scale transform), and is computed by a
+    triangular solve — chol(np.linalg.inv(S)) loses positive-definiteness
+    when S is large/ill-conditioned."""
     p = S.shape[0]
-    L = _chol2(np.linalg.inv(S))
+    Ls = _chol2(S)
+    M = np.linalg.solve(Ls, np.eye(p)).T  # M M' = inv(S)
     A = np.zeros((p, p))
     for i in range(p):
         A[i, i] = np.sqrt(rng.chisquare(df - i))
         for j in range(i):
             A[i, j] = rng.standard_normal()
-    W = L @ A @ A.T @ L.T
+    W = M @ A @ A.T @ M.T
     return np.linalg.inv(W)
 
 

@@ -71,7 +71,9 @@ ALL_METHODS = ["BayesPR", "BayesB", "BayesC", "BayesR",
 # sets, multi-set + blocked fixed + SummaryStatistics, windowed and
 # per-chromosome BayesPR regions
 COMPOSITES = ["MME_PED", "MME_CorrZ", "MME_CorrM", "MME_MultiSS",
-              "MME_Window", "MME_Chrom"]
+              "MME_Window", "MME_Chrom",
+              # GRN vertical vs the explicit-BIGM NumPy chain (oracle_grn)
+              "GRN"]
 
 PRIORS = {
     "BayesPR": {"v": 0.05},
@@ -290,6 +292,313 @@ def run_method(method, g, y, annot, lv_cov, weights_all, groups, chain, burn, th
     return out
 
 
+# ------------------------------------------------------------- composites
+
+
+def load_fixture_mme():
+    fx = os.path.join(HERE, "fixture")
+    ped = np.genfromtxt(os.path.join(fx, "pedigree.txt"), names=True,
+                        dtype=None, encoding="utf-8")
+    pheno = np.genfromtxt(os.path.join(fx, "pheno_mme.csv"), delimiter=",",
+                          names=True, dtype=None, encoding="utf-8")
+    return dict(
+        y=np.asarray(pheno["y"], np.float64),
+        ids=list(ped["id"]), sires=list(ped["sire"]), dams=list(ped["dam"]),
+        animal=np.loadtxt(os.path.join(fx, "animal.txt"), dtype=np.int64),
+        chr_ids=np.loadtxt(os.path.join(fx, "map_chr.txt"), dtype=np.int64),
+        g2=np.loadtxt(os.path.join(fx, "geno2.txt")),
+        ss_m=np.loadtxt(os.path.join(fx, "ss_m.txt")),
+        ss_v=np.loadtxt(os.path.join(fx, "ss_v.txt")),
+        sex=np.loadtxt(os.path.join(fx, "sex.txt")),
+        age=np.loadtxt(os.path.join(fx, "age.txt")),
+    )
+
+
+def _composite_parts(variant, g, fm):
+    """Shared model description: (fixed blocks, z part, marker part) for
+    both the engine spec and the oracle kwargs."""
+    n = len(fm["y"])
+    q = len(fm["ids"])
+    animal = fm["animal"]
+    z_id = (animal[:, None] == np.arange(q)[None, :]).astype(np.float64)
+    lbl = {lab: i for i, lab in enumerate(fm["ids"])}
+    dam_idx = np.array([lbl.get(d, -1) for d in fm["dams"]], np.int64)
+    dam_of = dam_idx[animal]
+    z_dam = np.where(
+        dam_of[:, None] >= 0,
+        (dam_of[:, None] == np.arange(q)[None, :]), 0.0).astype(np.float64)
+    xs = dict(int=np.ones(n), sex=fm["sex"], age=fm["age"])
+    parts = dict(n=n, q=q, z_id=z_id, z_dam=z_dam, xs=xs,
+                 v_a=1.0, v_corr=np.array([[1.0, 0.2], [0.2, 0.6]]),
+                 v_m=np.array([[0.04, 0.01], [0.01, 0.03]]), v_pr=0.05)
+    return parts
+
+
+def run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed):
+    import nextgp_tpu as ng
+    from nextgp_tpu.api.spec import CorrMarkerTerm
+    from nextgp_tpu.data.pedigree import a_inverse, build_pedigree
+
+    # the ENGINE's pedigree path (Henderson's rules + Meuwissen-Luo),
+    # cross-checked against the oracle's tabular-A numeric inverse
+    ped = build_pedigree(fm["ids"], fm["sires"], fm["dams"])
+    assert list(ped.ids) == list(fm["ids"]), "fixture pedigree is toposorted"
+    ainv = a_inverse(ped)
+    xs = parts["xs"]
+    fixed = [ng.FixedTerm(k, v) for k, v in xs.items()]
+    blocks = [("int", "sex", "age")] if variant == "MME_MultiSS" else []
+    random, markers, corr_markers, ss = [], [], [], {}
+    if variant == "MME_PED":
+        random = [ng.RandomTerm("a", parts["z_id"], prior=ng.Random("A", parts["v_a"]),
+                                ivstr=ainv, structure_label="A")]
+        markers = [ng.MarkerTerm("M1", ng.from_array(g), ng.BayesPR(9999, parts["v_pr"]))]
+    elif variant == "MME_CorrZ":
+        # SHARED incidence across the two components: the reference's tuple
+        # sampleU (functions.jl:75-88) computes Yi from the fully-restored
+        # residual and never subtracts cross-LEVEL likelihood couplings, so
+        # it is a valid Gibbs sampler only when every record hits the same
+        # level in all components (then Z_i'Z_l = 0 for l != i). With
+        # distinct incidences (the maternal ID/Dam case) the chain double-
+        # counts and DIVERGES (var_u doubles per sweep — reproduced
+        # independently by oracle_mme); the engine mirrors the reference
+        # and warns on non-shared incidence.
+        random = [ng.RandomTerm(("A1", "A2"), (parts["z_id"], parts["z_id"]),
+                                prior=ng.Random("A", parts["v_corr"]),
+                                ivstr=ainv, structure_label="A")]
+        markers = [ng.MarkerTerm("M1", ng.from_array(g), ng.BayesPR(9999, parts["v_pr"]))]
+    elif variant == "MME_CorrM":
+        corr_markers = [CorrMarkerTerm(
+            ("M1", "M2"), (ng.from_array(g), ng.from_array(fm["g2"])),
+            ng.BayesPR(9999, parts["v_m"]))]
+    elif variant == "MME_MultiSS":
+        markers = [ng.MarkerTerm("M1", ng.from_array(g), ng.BayesPR(9999, parts["v_pr"])),
+                   ng.MarkerTerm("M2", ng.from_array(fm["g2"]), ng.BayesPR(9999, parts["v_pr"]))]
+        ss = {"M1": ng.SummaryStatistics(fm["ss_m"], fm["ss_v"])}
+    elif variant in ("MME_Window", "MME_Chrom"):
+        r = 50 if variant == "MME_Window" else 99
+        markers = [ng.MarkerTerm(
+            "M1", ng.from_array(g, chr_ids=fm["chr_ids"]),
+            ng.BayesPR(r, parts["v_pr"]))]
+    else:
+        raise ValueError(variant)
+    spec = ng.ModelSpec(
+        y=fm["y"], fixed=fixed, blocks=blocks, random=random, markers=markers,
+        corr_markers=corr_markers, residual=ng.Random("I", 1.0),
+        summary_stats=ss, block_size=64,
+    )
+    res = ng.run_lmem(spec, chain, burn, thin, out_folder=None, seed=seed)
+    out = {"var_e": float(res.posterior_mean("varE"))}
+    gc = g - g.mean(axis=0)
+    ebv = np.zeros(parts["n"])
+    for t in markers:
+        bm = np.asarray(res.draws[f"beta{t.name}"]).mean(axis=0)
+        gck = (g if t.name == "M1" else fm["g2"])
+        gck = gck - gck.mean(axis=0)
+        ebv = ebv + gck @ bm
+        out[f"beta{t.name}"] = bm
+        out[f"var{t.name}"] = np.asarray(res.draws[f"var{t.name}"]).mean(axis=0)
+    for ct in corr_markers:
+        gc2 = fm["g2"] - fm["g2"].mean(axis=0)
+        b1 = np.asarray(res.draws["betaM1"]).mean(axis=0)
+        b2 = np.asarray(res.draws["betaM2"]).mean(axis=0)
+        ebv = ebv + gc @ b1 + gc2 @ b2
+        out["cm_beta"] = np.stack([b1, b2], axis=1)
+    out["ebv"] = ebv
+    if variant == "MME_PED":
+        out["u"] = np.asarray(res.draws["ua"]).mean(axis=0)
+    if variant == "MME_CorrZ":
+        out["cz_u"] = np.asarray(res.draws["uA1_A2"]).mean(axis=0)  # (nT, q)
+    return out
+
+
+def run_composite(variant, chain, burn, thin):
+    from oracle_mme import run_mme_oracle, tabular_a_inverse
+
+    g, y0, annot, lv_cov, weights, groups = load_fixture()
+    fm = load_fixture_mme()
+    parts = _composite_parts(variant, g, fm)
+    out = {"method": variant, "target": 0.999, "mode": "oracle",
+           "julia_skip_reason":
+               "julia not installed in this environment; no committed "
+               "reference run"}
+
+    e1 = run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed=7)
+    e2 = run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed=8)
+
+    ainv = tabular_a_inverse(
+        *_sire_dam_idx(fm["ids"], fm["sires"], fm["dams"]))
+    okw = dict(
+        fixed=[{"x": x} for x in parts["xs"].values()]
+        if variant != "MME_MultiSS"
+        else [{"x": np.column_stack(list(parts["xs"].values()))}],
+    )
+    if variant == "MME_PED":
+        okw["z_terms"] = [{"z": parts["z_id"], "ivstr": ainv, "v": parts["v_a"]}]
+        okw["markers"] = [{"g": g, "v": parts["v_pr"]}]
+    elif variant == "MME_CorrZ":
+        okw["corr_z"] = {"zs": [parts["z_id"], parts["z_id"]],
+                         "ivstr": ainv, "v": parts["v_corr"]}
+        okw["markers"] = [{"g": g, "v": parts["v_pr"]}]
+    elif variant == "MME_CorrM":
+        okw["corr_m"] = {"gs": [g, fm["g2"]], "v": parts["v_m"]}
+    elif variant == "MME_MultiSS":
+        okw["markers"] = [
+            {"g": g, "v": parts["v_pr"], "ss": (fm["ss_m"], fm["ss_v"])},
+            {"g": fm["g2"], "v": parts["v_pr"]},
+        ]
+    elif variant in ("MME_Window", "MME_Chrom"):
+        okw["markers"] = [{"g": g, "v": parts["v_pr"],
+                           "r": 50 if variant == "MME_Window" else 99,
+                           "chr_ids": fm["chr_ids"]}]
+    o1 = run_mme_oracle(fm["y"], chain=chain, burn=burn, thin=thin, seed=3, **okw)
+    o2 = run_mme_oracle(fm["y"], chain=chain, burn=burn, thin=thin, seed=4, **okw)
+
+    self_corr = corr(e1["ebv"], e2["ebv"])
+    oc = max(corr(e1["ebv"], o1["ebv_mean"]), corr(e1["ebv"], o2["ebv_mean"]))
+    o_self = corr(o1["ebv_mean"], o2["ebv_mean"])
+    gate = min(0.995, min(self_corr, o_self) - 0.015)
+    ve_o = [o1["var_e_mean"], o2["var_e_mean"]]
+    ve_rel = min(abs(e1["var_e"] - v_) / v_ for v_ in ve_o)
+    self_ve = abs(e1["var_e"] - e2["var_e"]) / max(e1["var_e"], e2["var_e"])
+    o_ve = abs(ve_o[0] - ve_o[1]) / max(ve_o)
+    ve_gate = max(0.15, 2.5 * max(self_ve, o_ve))
+    out.update({
+        "ebv_corr": round(oc, 6), "self_corr": round(self_corr, 6),
+        "oracle_self_corr": round(o_self, 6), "gate": round(gate, 6),
+        "var_e_engine": round(e1["var_e"], 4),
+        "var_e_oracle": [round(v_, 4) for v_ in ve_o],
+        "ve_gate": round(ve_gate, 4),
+    })
+    ok = oc >= gate and ve_rel <= ve_gate
+    if variant == "MME_PED":
+        u_corr = max(corr(e1["u"], o1["u_mean"][0]), corr(e1["u"], o2["u_mean"][0]))
+        u_self = min(corr(e1["u"], e2["u"]), corr(o1["u_mean"][0], o2["u_mean"][0]))
+        out["u_corr"] = round(u_corr, 6)
+        out["u_self_corr"] = round(u_self, 6)
+        ok = ok and u_corr >= u_self - 0.05
+    if variant == "MME_CorrZ":
+        # with shared incidence only the component SUM is data-identified;
+        # gate it tightly and gate per-component self-calibrated
+        es = e1["cz_u"].sum(axis=0)
+        us_corr = max(corr(es, o1["cz_u_mean"].sum(axis=0)),
+                      corr(es, o2["cz_u_mean"].sum(axis=0)))
+        us_self = min(corr(es, e2["cz_u"].sum(axis=0)),
+                      corr(o1["cz_u_mean"].sum(axis=0),
+                           o2["cz_u_mean"].sum(axis=0)))
+        out["usum_corr"] = round(us_corr, 6)
+        out["usum_self_corr"] = round(us_self, 6)
+        ok = ok and us_corr >= us_self - 0.05
+        for t in range(2):
+            u_corr = max(corr(e1["cz_u"][t], o1["cz_u_mean"][t]),
+                         corr(e1["cz_u"][t], o2["cz_u_mean"][t]))
+            u_self = min(corr(e1["cz_u"][t], e2["cz_u"][t]),
+                         corr(o1["cz_u_mean"][t], o2["cz_u_mean"][t]))
+            out[f"u{t}_corr"] = round(u_corr, 6)
+            out[f"u{t}_self_corr"] = round(u_self, 6)
+            ok = ok and u_corr >= u_self - 0.05
+    if variant in ("MME_Window", "MME_Chrom"):
+        # per-region variance pattern (24 windows / 3 chromosomes)
+        vb_e = e1["varM1"]
+        vb_o = o1["var_beta_mean"][0]
+        rel = np.abs(vb_e - vb_o) / np.maximum(vb_e, vb_o)
+        rel_self = np.abs(e1["varM1"] - e2["varM1"]) / np.maximum(
+            e1["varM1"], e2["varM1"])
+        out["region_var_relerr"] = round(float(rel.max()), 4)
+        out["region_var_relerr_self"] = round(float(rel_self.max()), 4)
+        out["n_regions"] = int(len(vb_e))
+        ok = ok and float(rel.max()) <= max(0.25, 3.0 * float(rel_self.max()))
+    if variant == "MME_CorrM":
+        for t in range(2):
+            bc = max(corr(e1["cm_beta"][:, t], o1["cm_beta_mean"][:, t]),
+                     corr(e1["cm_beta"][:, t], o2["cm_beta_mean"][:, t]))
+            bs = min(corr(e1["cm_beta"][:, t], e2["cm_beta"][:, t]),
+                     corr(o1["cm_beta_mean"][:, t], o2["cm_beta_mean"][:, t]))
+            out[f"beta{t}_corr"] = round(bc, 6)
+            out[f"beta{t}_self_corr"] = round(bs, 6)
+            ok = ok and bc >= bs - 0.05
+    out["pass"] = bool(ok)
+    return out
+
+
+def run_grn_variant(chain, burn, thin):
+    """GRN vertical vs the independent explicit-BIGM oracle (oracle_grn.py):
+    the engine's YY'-block collapse of BIGM (grn/sampler.py) is the single
+    riskiest algebra rewrite in the repo — an error preserving 'recovers
+    structure' would pass test_grn.py; distributional agreement with an
+    explicit-BIGM chain would not survive it (VERDICT r4 missing #3)."""
+    from oracle_grn import run_grn_oracle
+
+    from nextgp_tpu.grn.sampler import est_grn
+
+    fx = os.path.join(HERE, "fixture")
+    x = np.loadtxt(os.path.join(fx, "grn_x.txt"))
+    y = np.loadtxt(os.path.join(fx, "grn_y.txt"))
+    G = y.shape[0]
+    out = {"method": "GRN", "target": 0.999, "mode": "oracle",
+           "julia_skip_reason":
+               "julia not installed in this environment; no committed "
+               "reference run"}
+    off = ~np.eye(G, dtype=bool)
+    # nonzero startλ1 (the reference's own keyword, GRN.jl:14): from the
+    # zero start the independence-MH chain is metastable — var_l1's first
+    # draw collapses to ~nuS/chisq and acceptance sticks at ~e^-chisq(nL)/2
+    # for thousands of sweeps (seen in BOTH implementations); a small
+    # nonzero start puts both chains in the mixing mode from sweep 1
+    start = np.full(G * (G - 1), 0.1)
+
+    def eng(seed):
+        acc, draws, _ = est_grn(x, y, G, 2, chain, burn, thin,
+                                start_lam1=start,
+                                out_folder=None, seed=seed)
+        l1 = draws["Lambda1"].mean(axis=0).reshape(G, G).T
+        S = x.shape[0]
+        l2 = draws["Lambda2"].mean(axis=0).reshape(S, G).T
+        ve = float(draws["varE"].mean())
+        return dict(l1=l1, l2=l2, ve=ve,
+                    rate=acc / chain)
+
+    e1, e2 = eng(7), eng(8)
+    o1 = run_grn_oracle(x, y, chain=chain, burn=burn, thin=thin, seed=3,
+                        start_l1=start)
+    o2 = run_grn_oracle(x, y, chain=chain, burn=burn, thin=thin, seed=4,
+                        start_l1=start)
+
+    l1c = max(corr(e1["l1"][off], o1["lambda1_mean"][off]),
+              corr(e1["l1"][off], o2["lambda1_mean"][off]))
+    l1s = min(corr(e1["l1"][off], e2["l1"][off]),
+              corr(o1["lambda1_mean"][off], o2["lambda1_mean"][off]))
+    l2c = max(corr(e1["l2"].ravel(), o1["lambda2_mean"].ravel()),
+              corr(e1["l2"].ravel(), o2["lambda2_mean"].ravel()))
+    l2s = min(corr(e1["l2"].ravel(), e2["l2"].ravel()),
+              corr(o1["lambda2_mean"].ravel(), o2["lambda2_mean"].ravel()))
+    ve_o = [o1["var_e_mean"], o2["var_e_mean"]]
+    ve_rel = min(abs(e1["ve"] - v_) / v_ for v_ in ve_o)
+    self_ve = abs(e1["ve"] - e2["ve"]) / max(e1["ve"], e2["ve"])
+    o_ve = abs(ve_o[0] - ve_o[1]) / max(ve_o)
+    ve_gate = max(0.15, 2.5 * max(self_ve, o_ve))
+    rate_o = [o1["accept"] / chain, o2["accept"] / chain]
+    out.update({
+        "lambda1_corr": round(l1c, 6), "lambda1_self_corr": round(l1s, 6),
+        "lambda2_corr": round(l2c, 6), "lambda2_self_corr": round(l2s, 6),
+        "var_e_engine": round(e1["ve"], 4),
+        "var_e_oracle": [round(v_, 4) for v_ in ve_o],
+        "ve_gate": round(ve_gate, 4),
+        "mh_rate_engine": round(e1["rate"], 4),
+        "mh_rate_oracle": [round(r, 4) for r in rate_o],
+    })
+    ok = (l1c >= l1s - 0.02 and l2c >= l2s - 0.02 and ve_rel <= ve_gate
+          and abs(e1["rate"] - np.mean(rate_o)) <= 0.15)
+    out["pass"] = bool(ok)
+    return out
+
+
+def _sire_dam_idx(ids, sires, dams):
+    lbl = {lab: i for i, lab in enumerate(ids)}
+    sire = np.array([lbl.get(s, -1) for s in sires], np.int64)
+    dam = np.array([lbl.get(d, -1) for d in dams], np.int64)
+    return sire, dam
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("methods", nargs="*", default=[])
@@ -297,17 +606,32 @@ def main():
                     help="short chains (smoke; gates loosen implicitly "
                          "via self-calibration)")
     args = ap.parse_args()
-    methods = args.methods or ALL_METHODS
-    bad = [m for m in methods if m not in ALL_METHODS]
+    known = ALL_METHODS + COMPOSITES
+    methods = args.methods or known
+    bad = [m for m in methods if m not in known]
     if bad:
-        raise SystemExit(f"unknown methods {bad}; choose from {ALL_METHODS}")
+        raise SystemExit(f"unknown methods {bad}; choose from {known}")
     chain, burn, thin = (1500, 400, 5) if args.fast else (6000, 1500, 5)
 
     _force_cpu()
     g, y, annot, lv_cov, weights, groups = load_fixture()
     all_ok = True
+    # mixture variants gate on PIP agreement, which is pure Monte-Carlo
+    # noise at the default kept count (VERDICT r4 weak #4 / next-item 8):
+    # run them 2x longer and thin 2 so the self-calibration is sharp
+    # enough for the PIP gate to discriminate
+    pip_heavy = {"BayesB", "BayesC", "BayesR", "BayesRCpi", "BayesRCplus",
+                 "BayesC_D", "BayesR_D"}
     for m in methods:
-        res = run_method(m, g, y, annot, lv_cov, weights, groups, chain, burn, thin)
+        if m == "GRN":
+            res = run_grn_variant(chain, burn, thin)
+        elif m in COMPOSITES:
+            res = run_composite(m, chain, burn, thin)
+        elif m in pip_heavy and not args.fast:
+            res = run_method(m, g, y, annot, lv_cov, weights, groups,
+                             2 * chain, burn, 2)
+        else:
+            res = run_method(m, g, y, annot, lv_cov, weights, groups, chain, burn, thin)
         print(json.dumps(res), flush=True)
         all_ok &= bool(res.get("pass"))
     return 0 if all_ok else 1
