@@ -880,10 +880,17 @@ def sample_corr_marker_set(key, ms, cp, ycorr, var_e, ctx: ShardCtx = UNSHARDED)
     zb = z.reshape(nb_l, cp.block, n_t)
     ivb = ivr_locus.reshape(nb_l, cp.block, n_t, n_t)
 
+    n_real = ycorr.shape[0]
+
     def block_update(ycorr, mtb, cb, gramb, mpmb, maskb, bold_b, zjb, ivbb):
         """One block's sequential locus scan against a frozen residual;
         returns (correction (n,), beta_new (B, nT))."""
-        mtf = mtb.astype(dtype)  # (B, nT, n)
+        if mtb.dtype == jnp.uint8:  # 2-bit packed storage: exact unpack
+            from ...ops import pack2
+
+            mtf = pack2.unpack2(mtb, dtype)[..., :n_real]  # (B, nT, n)
+        else:
+            mtf = mtb.astype(dtype)  # (B, nT, n)
         sumy = jnp.sum(ycorr)
         r0 = jnp.einsum("ltn,n->lt", mtf, ycorr) - cb * sumy  # (B, nT)
 

@@ -128,7 +128,7 @@ class CorrMarkerState:
     columns form an (n, nT) block; the block-Gram carries (nT, nT)
     cross-products so the in-block scan stays exact."""
 
-    mt: Array  # (nb, B, nT, n) raw dosages
+    mt: Array  # (nb, B, nT, n) raw dosages, or (nb, B, nT, q) uint8 2-bit packed
     center: Array  # (nb, B, nT)
     gram: Array  # (nb, B, B, nT, nT) centered cross-Grams
     mpm: Array  # (nb, B, nT, nT) per-locus M_l' M_l

@@ -201,6 +201,28 @@ def _make_rank_kernel(impl: str):
                         axis=0, keepdims=True)
                 for k in range(4)
             ]
+        elif impl == "mxu_split":
+            # MXU with a two-term bf16 split of u: u = hi + lo where both
+            # halves are bf16-exact, the dosage planes are bf16-exact
+            # ({0..3}), and accumulation is f32 — recovers ~16 mantissa bits
+            # (rel err ~2^-16) at two DEFAULT-precision dots per plane while
+            # the panel tile is read once. Measured r5 at 36,864 x 12,544:
+            # 26.3 ms/pass vs VPU 32.2 and plain-MXU 25.2 (bf16-truncated).
+            ur = jnp.transpose(u_ref[:, 0:1])  # (1, rt)
+            u_hi = ur.astype(jnp.bfloat16).astype(F32)
+            u_lo = ur - u_hi
+            rows = []
+            for k in range(4):
+                plane = ((pk >> (2 * k)) & 3).astype(F32)
+                d_hi = jax.lax.dot_general(
+                    u_hi, plane, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=F32)
+                d_lo = jax.lax.dot_general(
+                    u_lo, plane, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=F32)
+                rows.append(d_hi + d_lo)
         else:
             # MXU row-vector x matrix; HIGHEST recovers ~f32 via multi-pass
             # (default f32 MXU passes truncate to bf16, ~1e-3 rel error)

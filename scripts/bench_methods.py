@@ -54,7 +54,7 @@ def main():
     # weights — exercises the two-Gram weighted kernel path (VERDICT r3 #5)
     weights = rng.uniform(0.5, 2.0, n)
     cases = {name: (prior, None) for name, prior in priors.items()}
-    for name in ("BayesC", "BayesPR"):
+    for name in ("BayesC", "BayesPR", "BayesR", "BayesLV"):
         cases[f"{name}+D"] = (priors[name], ng.Random(weights, 1.0))
 
     base = None

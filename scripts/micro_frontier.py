@@ -217,9 +217,14 @@ def main():
             t = scan_case(f"gather_vpu rt={rt} qt={qt}", g_call, y4)
             if t and err < 1e-4 and t < best.get("gather", (1e9,))[0]:
                 best["gather"] = (t, rt, qt)
-    for qt in tiles:
-        for rt in (512, 1024):
-            if rows % rt:
+    # scatter grid includes the LONG-NARROW shapes the production
+    # _tile_sizes rule picks ((2048, 256) at the north-star q) — the r4
+    # README cited that cell from an uncommitted ad-hoc run; this makes the
+    # committed record cover it (VERDICT r4 weak #2 / next-item 5)
+    s_tiles = sorted(set(tiles) | {256}, reverse=True)
+    for qt in s_tiles:
+        for rt in (512, 1024, 2048, 4096):
+            if rows % rt or q % qt:
                 continue
             s_call = make_scatter_step("vpu", rows, q, rt, qt)
             try:

@@ -33,6 +33,10 @@ def _spec(rng, n=80, p=96, method="BayesR"):
             [0.8, 0.1, 0.1], [0.0, 0.01, 0.1], 1.0,
             rng.integers(0, 2, (p, 2)) | np.array([1, 0]),
         ),
+        "BayesLV": ng.BayesLV(
+            0.05, np.column_stack([np.ones(p), rng.normal(0, 1, p)]), 0.1,
+            estimateVarZeta=False,
+        ),
     }
     spec = ng.ModelSpec(
         y=y,
@@ -197,13 +201,16 @@ def test_step_indexed_gram_matches_sliced(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("method", ["BayesPR", "BayesB", "BayesC"])
+@pytest.mark.parametrize("method", ["BayesPR", "BayesB", "BayesC", "BayesR",
+                                    "BayesRCpi", "BayesRCplus", "BayesLV"])
 @pytest.mark.parametrize("vsh", [1, 3])
 def test_weighted_pallas_matches_pure_jax(rng, method, vsh):
-    """Weighted-residual ("D", mme.jl:71-75) models on the kernel path:
-    the BC kernels thread the raw Gram as a second stream for the
-    indicator's rrr (functions.jl:168); must match the pure-JAX weighted
-    scan from shared streams at V=1 and V>1."""
+    """Weighted-residual ("D", mme.jl:71-75) models on the kernel path for
+    EVERY sampler (the reference supports "D" universally): the BC kernels
+    thread the raw Gram as a second stream for the indicator's rrr
+    (functions.jl:168); R/RCpi/RCplus/LV precompute weighted coefficients
+    into the packed per-locus streams. Each must match the pure-JAX
+    weighted scan from shared streams at V=1 and V>1 (r4 weak #5)."""
     spec, _, _ = _spec(rng, method=method)
     import dataclasses
     spec = dataclasses.replace(
@@ -218,7 +225,7 @@ def test_weighted_pallas_matches_pure_jax(rng, method, vsh):
     np.testing.assert_allclose(
         np.asarray(st_jax.ycorr), np.asarray(st_pal.ycorr), atol=1e-5
     )
-    if method in ("BayesB", "BayesC"):
+    if method in ("BayesB", "BayesC", "BayesR", "BayesRCpi", "BayesRCplus"):
         assert np.array_equal(
             np.asarray(st_jax.markers[0].delta),
             np.asarray(st_pal.markers[0].delta),
