@@ -205,9 +205,13 @@ def _make_rank_kernel(impl: str):
             # MXU with a two-term bf16 split of u: u = hi + lo where both
             # halves are bf16-exact, the dosage planes are bf16-exact
             # ({0..3}), and accumulation is f32 — recovers ~16 mantissa bits
-            # (rel err ~2^-16) at two DEFAULT-precision dots per plane while
-            # the panel tile is read once. Measured r5 at 36,864 x 12,544:
-            # 26.3 ms/pass vs VPU 32.2 and plain-MXU 25.2 (bf16-truncated).
+            # (rel err ~2e-6 measured). REJECTED for production: r5 shootout
+            # at 36,864 x 12,544 (scripts/micro_scatter_impl.py,
+            # ladder_results.jsonl) measured 42.7 ms/pass vs VPU 33.4 —
+            # Mosaic does not share the unpacked plane between the two dots,
+            # so the split pays ~2x the plain-MXU cost (25.9 ms, but that
+            # one truncates u to bf16: 2e-3 rel error in every residual
+            # correction). Kept selectable via NG_PACK2_RANK for re-runs.
             ur = jnp.transpose(u_ref[:, 0:1])  # (1, rt)
             u_hi = ur.astype(jnp.bfloat16).astype(F32)
             u_lo = ur - u_hi

@@ -56,16 +56,40 @@ def main():
     cases = {name: (prior, None) for name, prior in priors.items()}
     for name in ("BayesC", "BayesPR", "BayesR", "BayesLV"):
         cases[f"{name}+D"] = (priors[name], ng.Random(weights, 1.0))
+    # correlated two-set row (packed storage + V-wide schedule; the
+    # per-locus nT x nT inv/cholesky chain is latency-bound, so p is
+    # reduced — the row documents ms/locus, not a like-for-like shape)
+    p_corr = int(os.environ.get("BM_P_CORR", 4096))
+    cases["CorrPR(2set)"] = ("corr", None)
 
+    only = os.environ.get("BM_ONLY")
     base = None
     for name, (prior, residual) in cases.items():
-        spec = ng.ModelSpec(
-            y=y,
-            residual=residual,
-            fixed=[ng.FixedTerm("int", np.ones(n))],
-            markers=[ng.MarkerTerm("M1", from_device_array(g_dev), prior)],
-            block_size=256,
-        )
+        if only and only not in name:
+            continue
+        if prior == "corr":
+            from nextgp_tpu.api.spec import CorrMarkerTerm
+
+            rng_c = np.random.default_rng(5)
+            gc1 = rng_c.integers(0, 3, (n, p_corr), dtype=np.int8)
+            gc2 = rng_c.integers(0, 3, (n, p_corr), dtype=np.int8)
+            spec = ng.ModelSpec(
+                y=y,
+                fixed=[ng.FixedTerm("int", np.ones(n))],
+                corr_markers=[CorrMarkerTerm(
+                    ("C1", "C2"),
+                    (ng.from_array(gc1), ng.from_array(gc2)),
+                    ng.BayesPR(9999, np.array([[0.02, 0.005], [0.005, 0.015]])))],
+                block_size=256,
+            )
+        else:
+            spec = ng.ModelSpec(
+                y=y,
+                residual=residual,
+                fixed=[ng.FixedTerm("int", np.ones(n))],
+                markers=[ng.MarkerTerm("M1", from_device_array(g_dev), prior)],
+                block_size=256,
+            )
         # +D rows resolve V via "auto" (the weighted B/C two-Gram kernels
         # cap V for scoped-VMEM, engine/plan.py); plain rows keep BM_V
         plan, state = ng.assemble(

@@ -264,3 +264,25 @@ def test_run_lmem_writes_group_info(rng, tmp_path):
     assert os.path.exists(fn)
     rows = [ln.split("\t") for ln in open(fn).read().strip().splitlines()[1:]]
     assert len(rows) == p and rows[0][3] == "3" and rows[-1][3] == "7"
+
+
+def test_run_chains_writes_group_info(rng, tmp_path):
+    """Multi-chain runs emit groupInfo files too (ADVICE r4: the chains>1
+    CLI path used to skip _write_group_infos)."""
+    from nextgp_tpu.runtime import run_chains
+
+    n, p = 30, 12
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    y = rng.normal(0, 1, n)
+    chrs = np.r_[np.full(6, 1), np.full(6, 2)]
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g, chr_ids=chrs),
+                               ng.BayesPR(99, 0.05))],
+        block_size=4,
+    )
+    out = str(tmp_path / "out")
+    run_chains(spec, n_chains=2, n_chain=8, n_burn=2, n_thin=2,
+               out_folder=out, vshards=1)
+    assert os.path.exists(os.path.join(out, "groupInfo_M.txt"))
