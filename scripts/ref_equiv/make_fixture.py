@@ -96,9 +96,15 @@ def write_mme_extras(fx, gc1):
     np.savetxt(os.path.join(fx, "animal.txt"), animal, fmt="%d")
 
     # map: 3 chromosomes x 400 loci (sorted; integer ids 1..3 as the
-    # reference's accRegionVec indexing assumes, misc.jl:178-190)
+    # reference's accRegionVec indexing assumes, misc.jl:178-190).
+    # map.csv is the reference's map-file format (snpID,snpOrder,chrID —
+    # misc.jl:167) for the Julia mirror; map_chr.txt the bare chr vector.
     chr_ids = np.repeat([1, 2, 3], P // 3)
     np.savetxt(os.path.join(fx, "map_chr.txt"), chr_ids, fmt="%d")
+    with open(os.path.join(fx, "map.csv"), "w") as fh:
+        fh.write("snpID,snpOrder,chrID\n")
+        for i, c in enumerate(chr_ids):
+            fh.write(f"snp{i + 1},{i + 1},{c}\n")
 
     # second panel with its own sparse signal
     g2 = rng.integers(0, 3, (N, P))

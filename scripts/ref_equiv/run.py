@@ -346,7 +346,10 @@ def run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed):
     ainv = a_inverse(ped)
     xs = parts["xs"]
     fixed = [ng.FixedTerm(k, v) for k, v in xs.items()]
-    blocks = [("int", "sex", "age")] if variant == "MME_MultiSS" else []
+    # block (sex, age) only — the reference's blockThese takes data-column
+    # symbols, so the intercept stays a single-column update in both
+    # implementations (Julia-expressible mirror in ref_equiv.jl)
+    blocks = [("sex", "age")] if variant == "MME_MultiSS" else []
     random, markers, corr_markers, ss = [], [], [], {}
     if variant == "MME_PED":
         random = [ng.RandomTerm("a", parts["z_id"], prior=ng.Random("A", parts["v_a"]),
@@ -423,6 +426,25 @@ def run_composite(variant, chain, burn, thin):
                "reference run"}
 
     e1 = run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed=7)
+
+    # committed-mode: a Julia-equipped machine ran ref_equiv.jl MME_* and
+    # committed ref_out/<variant>/beta_mean.csv (marker sets concatenated
+    # in M-then-W order) — compare combined EBVs with the 0.999 gate
+    ref_file = os.path.join(HERE, "ref_out", variant, "beta_mean.csv")
+    if os.path.exists(ref_file):
+        beta_ref = np.loadtxt(ref_file)
+        gc1 = g - g.mean(axis=0)
+        gc2 = fm["g2"] - fm["g2"].mean(axis=0)
+        p = g.shape[1]
+        ebv_ref = gc1 @ beta_ref[:p]
+        if beta_ref.shape[0] > p:
+            ebv_ref = ebv_ref + gc2 @ beta_ref[p:2 * p]
+        out["mode"] = "committed"
+        out.pop("julia_skip_reason")
+        out["ebv_corr"] = round(corr(e1["ebv"], ebv_ref), 6)
+        out["pass"] = out["ebv_corr"] >= 0.999
+        return out
+
     e2 = run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed=8)
 
     ainv = tabular_a_inverse(
@@ -430,7 +452,8 @@ def run_composite(variant, chain, burn, thin):
     okw = dict(
         fixed=[{"x": x} for x in parts["xs"].values()]
         if variant != "MME_MultiSS"
-        else [{"x": np.column_stack(list(parts["xs"].values()))}],
+        else [{"x": parts["xs"]["int"]},
+              {"x": np.column_stack([parts["xs"]["sex"], parts["xs"]["age"]])}],
     )
     if variant == "MME_PED":
         okw["z_terms"] = [{"z": parts["z_id"], "ivstr": ainv, "v": parts["v_a"]}]
