@@ -148,10 +148,22 @@ def model_card(spec: ModelSpec, plan: SweepPlan, state=None) -> str:
             f"  markers: {mp.name}  ({mp.method}, {mp.p} loci, "
             + ", ".join(extra) + f"){dflt}"
         )
-    for cp in plan.corr_markers:
+    for ci, cp in enumerate(plan.corr_markers):
+        extra = ""
+        if state is not None:
+            try:
+                import jax.numpy as _jnp
+
+                if state.corr_markers[ci].mt.dtype == _jnp.uint8:
+                    extra = ", 2-bit packed"
+            except (AttributeError, IndexError):
+                pass
+        if cp.vshards > 1:
+            extra += f", vshards {cp.vshards}"
         lines.append(
             f"  correlated markers: {' + '.join(cp.names)}  "
-            f"(BayesPR, {cp.p} loci, {cp.n_t} sets, {cp.n_regions} regions)"
+            f"(BayesPR, {cp.p} loci, {cp.n_t} sets, {cp.n_regions} regions"
+            f"{extra})"
         )
     for key in spec.summary_stats:
         nm = key if isinstance(key, str) else " + ".join(key)

@@ -1,4 +1,17 @@
-"""GRN structural-equation sampler tests (GRN.jl semantics)."""
+"""GRN structural-equation sampler tests (GRN.jl semantics).
+
+Independent evidence lives in scripts/ref_equiv (variant `GRN`): an
+explicit-BIGM from-scratch NumPy chain (oracle_grn.py) gates the engine's
+YY'-collapse sampler distributionally on Lambda1/Lambda2/varE — these
+tests cover structure recovery and internals only.
+
+No Geweke test is possible for the GRN conditionals: the executed
+Lambda2 draw is UNPENALIZED least squares (the prior enters only through
+alpha*pMeans which is identically zero, GRN.jl:72,153-156) and the gene
+means carry no prior either (GRN.jl:109-119) — flat priors make the
+joint improper, so no marginal-conditional simulator exists (same
+rationale as the engine's fixed effects, test_geweke.py).
+"""
 import numpy as np
 import pytest
 

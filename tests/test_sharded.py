@@ -404,3 +404,43 @@ def test_corr_markers_two_shards_consistent(rng):
     ebv1 = gc1 @ acc1[:, 0] + gc2 @ acc1[:, 1]
     ebvS = gc1 @ accS[:, 0] + gc2 @ accS[:, 1]
     assert np.corrcoef(ebv1, ebvS)[0, 1] > 0.95
+
+
+def test_corr_markers_shards_compose_with_vshards(rng):
+    """Corr sets assembled with vshards=V: the S-device run equals the
+    single-device V-wide chain (same invariant as plain sets; the r5
+    multichip dryrun certifies the same thing on the production model)."""
+    from nextgp_tpu.api.spec import CorrMarkerTerm
+
+    n, p, block = 48, 32, 4
+    g1 = rng.integers(0, 3, (n, p)).astype(float)
+    g2 = rng.integers(0, 3, (n, p)).astype(float)
+    y = (1.0 + (g1 - g1.mean(0)) @ rng.normal(0, 0.15, p)
+         + rng.normal(0, 1, n))
+    v = np.array([[0.02, 0.005], [0.005, 0.015]])
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        corr_markers=[CorrMarkerTerm(
+            ("M1", "M2"), (ng.from_array(g1), ng.from_array(g2)),
+            ng.BayesPR(9999, v))],
+        block_size=block,
+    )
+    plan, state = ng.assemble(spec, vshards=4)
+    assert plan.corr_markers[0].vshards == 4
+    key = jax.random.key(11)
+    sweep = jax.jit(ng.make_sweep(plan))
+    s1 = state
+    for _ in range(2):
+        s1 = sweep(s1, key)
+    mesh = sharded.make_mesh(1, 2, devices=jax.devices()[:2])
+    b = sharded.distribute(plan, state, mesh, 1)
+    r = sharded.make_sharded_sweep(plan, mesh, n_sweeps=2)(b)(b, key[None])
+    np.testing.assert_allclose(
+        np.asarray(r.corr_markers[0].beta[0]),
+        np.asarray(s1.corr_markers[0].beta), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(r.ycorr[0]), np.asarray(s1.ycorr), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(r.corr_markers[0].var_beta[0]),
+        np.asarray(s1.corr_markers[0].var_beta), rtol=1e-9)
