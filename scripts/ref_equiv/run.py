@@ -283,6 +283,16 @@ def run_method(method, g, y, annot, lv_cov, weights_all, groups, chain, burn, th
         ok = ok and u_corr >= u_self - 0.05
     if pip_gate is not None and np.isfinite(pip_c):
         ok = ok and pip_c >= pip_gate
+        if np.isfinite(self_pip) and self_pip < 0.9:
+            # the PIP gate is only as sharp as the self-calibration; when
+            # the engine's own two seeds agree below 0.9 the per-locus
+            # inclusion probabilities are Monte-Carlo-noise dominated at
+            # this (chain, fixture-signal) configuration — the variant
+            # still gates on EBV + varE, and the pip comparison is
+            # recorded as weakly informative rather than silently strong
+            out["pip_note"] = (
+                "self_pip_corr < 0.9: PIP estimates MC-noise dominated at "
+                "this chain length/signal; gate carried by EBV + varE")
     if base == "BayesPR" and w is None:
         ac = analytic_pr_corr(gc, y, beta_e, var_beta=float(
             np.mean(orc["var_beta_mean"])), var_e=var_e_e)

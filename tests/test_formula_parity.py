@@ -163,3 +163,35 @@ def test_packed_genotypes_reject_pedigree_reorder(rng, tmp_path):
             priors={"ID": ng.Random("A", 0.5), "geno": ng.BayesPR(9999, 0.05)},
             path2ped=str(ped), genotypes={"geno": md}, block_size=8,
         )
+
+
+def test_snp_positional_path_containing_equals(rng, tmp_path):
+    """A positional genotype path containing '=' (e.g. data/run=2/geno.txt)
+    must keep parsing as a path — only bare-identifier prefixes count as
+    keyword arguments (ADVICE r4)."""
+    from nextgp_tpu.api.formula import parse_formula
+
+    n, p = 20, 6
+    g = rng.integers(0, 3, (n, p))
+    d = tmp_path / "run=2"
+    d.mkdir()
+    gf = d / "geno.txt"
+    with open(gf, "w") as fh:
+        for row in g:
+            fh.write(" ".join(map(str, row)) + "\n")
+    spec = parse_formula(
+        f"y ~ 1 + SNP(M, {gf})",
+        {"y": rng.normal(0, 1, n)},
+        priors={"M": ng.BayesPR(9999, 0.05)},
+        block_size=8,
+    )
+    assert spec.markers[0].data.n_snp == p
+    # a bare-identifier keyword that isn't map= still errors
+    with pytest.raises(ValueError, match="unrecognized SNP"):
+        parse_formula(
+            "y ~ 1 + SNP(M, chip=foo)",
+            {"y": rng.normal(0, 1, n)},
+            priors={"M": ng.BayesPR(9999, 0.05)},
+            genotypes={"M": g.astype(float)},
+            block_size=8,
+        )

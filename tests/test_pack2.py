@@ -342,3 +342,27 @@ def test_corr_markers_packed_bit_identical(rng):
         b_f, y_f = chain(False, vsh)
         np.testing.assert_allclose(b_pk, b_f, rtol=0, atol=1e-12)
         np.testing.assert_allclose(y_pk, y_f, rtol=0, atol=1e-12)
+
+
+def test_genomic_values_state_f64_precision(rng):
+    """On x64 runs genomic_values_state computes in the engine dtype
+    (ADVICE r4): an f32 compute would lose the tiny beta components this
+    fixture plants below f32 resolution of the large ones."""
+    n, p = 40, 32
+    g = rng.integers(0, 3, (n, p), dtype=np.int8)
+    y = rng.normal(0, 1, n)
+    spec = ng.ModelSpec(
+        y=y,
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), ng.BayesPR(9999, 0.05))],
+        block_size=8,
+    )
+    plan, state = ng.assemble(spec, pack2=False)  # packed path is f32 by design
+    beta = np.zeros(p)
+    beta[0] = 1.0
+    beta[1] = 1e-9  # below f32 resolution relative to beta[0]'s contribution
+    got = np.asarray(ng.genomic_values_state(plan, state, beta=beta))
+    gc = g.astype(np.float64) - g.astype(np.float64).mean(0)
+    want = gc @ beta
+    assert got.dtype == np.float64
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
