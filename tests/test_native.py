@@ -201,3 +201,34 @@ def test_native_parser_leading_blank_line(tmp_path):
     md = ingest.read_genotype_file(str(path))
     assert md.genotypes.shape == (2, 3)
     np.testing.assert_array_equal(md.genotypes, [[0, 1, 2], [1, 0, 2]])
+
+
+def test_abi_fallback_reuses_existing_so2(monkeypatch, tmp_path):
+    """On ABI mismatch at the hash-keyed path, lib() must LOAD an existing
+    valid -abi<N>.so fallback instead of recompiling per process
+    (ADVICE r4). Unit-level: CDLL/_bind/_compile are stubbed."""
+    from types import SimpleNamespace
+
+    import nextgp_tpu.native as nat
+
+    so = str(tmp_path / "libfake.so")
+    so2 = f"{so[:-3]}-abi{nat.ABI_VERSION}.so"
+    for p in (so, so2):
+        with open(p, "w") as fh:
+            fh.write("x")
+    stale = SimpleNamespace(ng_version=lambda: nat.ABI_VERSION - 1)
+    good = SimpleNamespace(ng_version=lambda: nat.ABI_VERSION)
+    compiles = []
+    monkeypatch.setattr(nat, "_so_path", lambda: so)
+    monkeypatch.setattr(nat, "_bind", lambda d: d)
+    monkeypatch.setattr(nat, "_compile", lambda s: compiles.append(s) or True)
+    monkeypatch.setattr(
+        nat.ctypes, "CDLL", lambda path: good if path == so2 else stale)
+    old_lib, old_tried = nat._lib, nat._tried
+    nat._lib, nat._tried = None, False
+    try:
+        out = nat.lib()
+        assert out is good
+        assert compiles == []  # reused, not recompiled
+    finally:
+        nat._lib, nat._tried = old_lib, old_tried
