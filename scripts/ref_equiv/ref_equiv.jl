@@ -119,6 +119,19 @@ if startswith(method, "MME_")
         f2 = @formula(y ~ 1 + sex + age + SNP("M", genopath; map=mappath))
         vcv = Dict(:M => BayesPR(r, 0.05), :e => Random("I", 1.0))
         runLMEM(f2, pheno2, chain, burn, thin; VCV=vcv, outFolder=out)
+    elseif method == "MME_GBLUP"
+        # GBLUP branch (prepMatVec.jl:123-127): panel -> vanRaden G^-1,
+        # Z = I; beta_mean.csv holds the U means (record-order genomic
+        # values), which run.py's committed mode compares directly
+        f2 = @formula(y ~ 1 + sex + age + SNP("G", genopath))
+        vcv = Dict(:G => Random("G", 1.0), :e => Random("I", 1.0))
+        runLMEM(f2, pheno2, chain, burn, thin; VCV=vcv, outFolder=out)
+        mkpath(joinpath(here, "ref_out", method))
+        u = summaryMCMC("uG"; outFolder=out)
+        writedlm(joinpath(here, "ref_out", method, "beta_mean.csv"),
+                 vec(Matrix(u)))
+        println("reference posterior means written to ref_out/$method/beta_mean.csv")
+        exit(0)
     else
         error("unknown composite $method")
     end

@@ -72,6 +72,10 @@ ALL_METHODS = ["BayesPR", "BayesB", "BayesC", "BayesR",
 # per-chromosome BayesPR regions
 COMPOSITES = ["MME_PED", "MME_CorrZ", "MME_CorrM", "MME_MultiSS",
               "MME_Window", "MME_Chrom",
+              # GBLUP: SNP panel -> vanRaden G^-1 structure, Z = I
+              # (prepMatVec.jl:123-127); engine's make_g_inverse vs an
+              # inline vanRaden + numeric inverse on the oracle side
+              "MME_GBLUP",
               # GRN vertical vs the explicit-BIGM NumPy chain (oracle_grn)
               "GRN"]
 
@@ -392,6 +396,14 @@ def run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed):
         markers = [ng.MarkerTerm(
             "M1", ng.from_array(g, chr_ids=fm["chr_ids"]),
             ng.BayesPR(r, parts["v_pr"]))]
+    elif variant == "MME_GBLUP":
+        from nextgp_tpu.data.grm import make_g_inverse
+
+        n = parts["n"]
+        random = [ng.RandomTerm(
+            "gb", np.eye(n), prior=ng.Random("G", 1.0),
+            ivstr=make_g_inverse(np.asarray(g, np.float64)),
+            structure_label="G")]
     else:
         raise ValueError(variant)
     spec = ng.ModelSpec(
@@ -417,6 +429,10 @@ def run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed):
         ebv = ebv + gc @ b1 + gc2 @ b2
         out["cm_beta"] = np.stack([b1, b2], axis=1)
     out["ebv"] = ebv
+    if variant == "MME_GBLUP":
+        # the GBLUP breeding values ARE the genomic values — gate on u
+        out["u"] = np.asarray(res.draws["ugb"]).mean(axis=0)
+        out["ebv"] = out["u"]
     if variant == "MME_PED":
         out["u"] = np.asarray(res.draws["ua"]).mean(axis=0)
     if variant == "MME_CorrZ":
@@ -446,9 +462,12 @@ def run_composite(variant, chain, burn, thin):
         gc1 = g - g.mean(axis=0)
         gc2 = fm["g2"] - fm["g2"].mean(axis=0)
         p = g.shape[1]
-        ebv_ref = gc1 @ beta_ref[:p]
-        if beta_ref.shape[0] > p:
-            ebv_ref = ebv_ref + gc2 @ beta_ref[p:2 * p]
+        if variant == "MME_GBLUP":  # file holds the u means directly
+            ebv_ref = beta_ref
+        else:
+            ebv_ref = gc1 @ beta_ref[:p]
+            if beta_ref.shape[0] > p:
+                ebv_ref = ebv_ref + gc2 @ beta_ref[p:2 * p]
         out["mode"] = "committed"
         out.pop("julia_skip_reason")
         out["ebv_corr"] = round(corr(e1["ebv"], ebv_ref), 6)
@@ -483,8 +502,21 @@ def run_composite(variant, chain, burn, thin):
         okw["markers"] = [{"g": g, "v": parts["v_pr"],
                            "r": 50 if variant == "MME_Window" else 99,
                            "chr_ids": fm["chr_ids"]}]
+    elif variant == "MME_GBLUP":
+        # inline vanRaden method-1 G + numeric inverse (misc.jl:145-160):
+        # deliberately not the engine's grm module
+        m = np.asarray(g, np.float64)
+        pfreq = m.mean(axis=0) / 2.0
+        mc_ = m - m.mean(axis=0)
+        G = mc_ @ mc_.T / np.sum(2.0 * pfreq * (1.0 - pfreq))
+        G += 0.001 * np.eye(m.shape[0])
+        okw["z_terms"] = [{"z": np.eye(parts["n"]),
+                           "ivstr": np.linalg.inv(G), "v": 1.0}]
     o1 = run_mme_oracle(fm["y"], chain=chain, burn=burn, thin=thin, seed=3, **okw)
     o2 = run_mme_oracle(fm["y"], chain=chain, burn=burn, thin=thin, seed=4, **okw)
+    if variant == "MME_GBLUP":  # genomic values live in u, not beta
+        for o_ in (o1, o2):
+            o_["ebv_mean"] = o_["u_mean"][0]
 
     self_corr = corr(e1["ebv"], e2["ebv"])
     oc = max(corr(e1["ebv"], o1["ebv_mean"]), corr(e1["ebv"], o2["ebv_mean"]))
@@ -503,7 +535,7 @@ def run_composite(variant, chain, burn, thin):
         "ve_gate": round(ve_gate, 4),
     })
     ok = oc >= gate and ve_rel <= ve_gate
-    if variant == "MME_PED":
+    if variant in ("MME_PED", "MME_GBLUP"):
         u_corr = max(corr(e1["u"], o1["u_mean"][0]), corr(e1["u"], o2["u_mean"][0]))
         u_self = min(corr(e1["u"], e2["u"]), corr(o1["u_mean"][0], o2["u_mean"][0]))
         out["u_corr"] = round(u_corr, 6)
