@@ -888,6 +888,28 @@ def assemble(
         marker_states.append(st)
         marker_plans.append(pl)
 
+    # summary-statistics keys that nothing consumed: fixed single columns
+    # and marker sets use them (mme.jl:144-147, 316-322); multi-column
+    # blocks (sampleb!, functions.jl:22-36) and random-effect sets ignore
+    # them IN THE REFERENCE TOO (mme.jl:201-204 stores Z offsets that
+    # sampleU, functions.jl:57-72, never reads — dead code there). Warn so
+    # a user's Z-attached prior isn't silently a no-op.
+    if spec.summary_stats:
+        consumed = {t.name for t in spec.markers}
+        consumed |= {fp.name for fp in fixed_plans if fp.k == 1}
+        dead = [k for k in spec.summary_stats if k not in consumed]
+        if dead:
+            import warnings
+
+            warnings.warn(
+                f"SummaryStatistics attached to {dead} are not consumed: "
+                "the reference applies them only to single-column fixed "
+                "effects and marker sets (its multi-column sampleb! and "
+                "random-effect sampleU never read the stored offsets); "
+                "this engine mirrors that executed behavior.",
+                stacklevel=2,
+            )
+
     corr_states, corr_plans = [], []
     for t in getattr(spec, "corr_markers", []):
         st, pl_ = _build_corr_marker(t, bs, dtype, vshards=vshards)

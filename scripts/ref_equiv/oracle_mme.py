@@ -175,7 +175,12 @@ def run_mme_oracle(y, chain=4000, burn=1000, thin=5, seed=1, v_e=1.0,
         fx.append(dict(x=x, k=k, xpx=xpx, lhs_ss=lhs_ss, rhs_ss=rhs_ss,
                        b=np.zeros(k)))
 
-    # ---- uni random effects (mme.jl:170-204, functions.jl:57-72)
+    # ---- uni random effects (mme.jl:170-204, functions.jl:57-72).
+    # optional per-level SummaryStatistics offsets (mme.jl:201-204): the
+    # reference folds lhs = 1/v, rhs = m/v into the per-level conditional
+    # — NOTE its uni sampleU (functions.jl:57-72) does NOT add them (only
+    # sampleX!/sampleBayesPR! consume :lhs/:rhs), so Z-attached summary
+    # stats are stored but IGNORED by the executed sampler; mirror that.
     zs = []
     for t in z_terms:
         z = np.asarray(t["z"], np.float64)

@@ -40,6 +40,8 @@ elseif method == "BayesLV"
     BayesLV(0.05, @formula(v ~ 1 + x), covdf, 0.1; estimateVarZeta=false)
 elseif method == "BayesPR_D" || method == "BayesPR_Z"
     BayesPR(9999, 0.05)
+elseif method == "BayesB_D"
+    BayesB(0.1, 0.05; estimatePi=true)
 elseif method == "BayesC_D"
     BayesC(0.1, 0.05; estimatePi=true)
 elseif method == "BayesR_D"

@@ -286,3 +286,27 @@ def test_run_chains_writes_group_info(rng, tmp_path):
     run_chains(spec, n_chains=2, n_chain=8, n_burn=2, n_thin=2,
                out_folder=out, vshards=1)
     assert os.path.exists(os.path.join(out, "groupInfo_M.txt"))
+
+
+def test_dead_summary_stats_warn(rng):
+    """SummaryStatistics attached to anything but single-column fixed
+    effects or marker sets warn: the reference stores Z offsets
+    (mme.jl:201-204) that its sampleU never reads — dead code mirrored
+    here, but surfaced instead of silent."""
+    import warnings
+
+    n, p = 20, 8
+    g = rng.integers(0, 3, (n, p)).astype(float)
+    zmat = (rng.integers(0, 3, n)[:, None] == np.arange(3)).astype(float)
+    spec = ng.ModelSpec(
+        y=rng.normal(0, 1, n),
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        random=[ng.RandomTerm("grp", zmat, prior=ng.Random("I", 0.5))],
+        markers=[ng.MarkerTerm("M", ng.from_array(g), ng.BayesPR(9999, 0.05))],
+        summary_stats={"grp": ng.SummaryStatistics(np.zeros(3), np.ones(3))},
+        block_size=8,
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ng.assemble(spec)
+    assert any("not consumed" in str(x.message) for x in w)
