@@ -1,6 +1,10 @@
-"""Reference-equivalence harness over ALL SEVEN marker methods.
+"""Reference-equivalence harness: the 21-variant matrix.
 
-One JSON line per method with a correlation or a recorded skip:
+All seven marker methods, the weighted-residual corners, the iid
+random-effect corner, the composite MME models (pedigree, correlated
+tuples, correlated marker sets, multi-set + blocked + SummaryStatistics,
+mapped regions, GBLUP), and the GRN vertical. One JSON line per variant
+with a correlation or a recorded skip:
 
   JAX_PLATFORMS=cpu python scripts/ref_equiv/run.py [method ...] [--fast]
 
