@@ -707,6 +707,13 @@ def _build_corr_marker(term, block, dtype, vshards=1):
     if not isinstance(prior, BayesPR):
         raise ValueError("correlated marker sets support only the BayesPR prior")
     datas = term.datas
+    if any(getattr(d, "packed", False) for d in datas):
+        raise ValueError(
+            f"correlated marker sets {'+'.join(term.names)}: pre-packed "
+            "genotype inputs (from_packed) are not supported here — pass "
+            "unpacked dosage panels (from_array); eligible 0..3 dosages are "
+            "re-packed 2-bit internally"
+        )
     n_t = len(datas)
     n, p = datas[0].n_ind, datas[0].n_snp
     maps = [d.chr_ids for d in datas]

@@ -366,3 +366,24 @@ def test_genomic_values_state_f64_precision(rng):
     want = gc @ beta
     assert got.dtype == np.float64
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_corr_markers_reject_prepacked_input(rng):
+    """Pre-packed MarkerData in a CorrMarkerTerm errors clearly instead of
+    failing with a shape mismatch deep in assembly."""
+    from nextgp_tpu.api.spec import CorrMarkerTerm
+
+    n, p = 20, 16
+    g = rng.integers(0, 3, (n, p), dtype=np.int8)
+    md_pk = ng.from_packed(pack2.pack2_np(g), n_ind=n,
+                           center=g.astype(np.float64).mean(0))
+    spec = ng.ModelSpec(
+        y=rng.normal(0, 1, n),
+        fixed=[ng.FixedTerm("int", np.ones(n))],
+        corr_markers=[CorrMarkerTerm(
+            ("A", "B"), (md_pk, ng.from_array(g)),
+            ng.BayesPR(9999, np.eye(2) * 0.02))],
+        block_size=8,
+    )
+    with pytest.raises(ValueError, match="pre-packed"):
+        ng.assemble(spec)
