@@ -437,8 +437,11 @@ def run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed):
         # the GBLUP breeding values ARE the genomic values — gate on u
         out["u"] = np.asarray(res.draws["ugb"]).mean(axis=0)
         out["ebv"] = out["u"]
+        out["var_u_mean"] = float(np.asarray(res.draws["varUgb"]).mean())
     if variant == "MME_PED":
         out["u"] = np.asarray(res.draws["ua"]).mean(axis=0)
+        out["var_u_mean"] = float(np.asarray(res.draws["varUa"]).mean())
+        out["var_b_mean"] = float(np.asarray(res.draws["varM1"]).mean())
     if variant == "MME_CorrZ":
         out["cz_u"] = np.asarray(res.draws["uA1_A2"]).mean(axis=0)  # (nT, q)
     return out
@@ -545,6 +548,16 @@ def run_composite(variant, chain, burn, thin):
         out["u_corr"] = round(u_corr, 6)
         out["u_self_corr"] = round(u_self, 6)
         ok = ok and u_corr >= u_self - 0.05
+        # analytic ANCHOR (third independent construction): the all-Gaussian
+        # composite model is conjugate given the variance components, so the
+        # joint MME solve at the chain's posterior-mean variances must agree
+        # with the posterior means (same closed-form idea as the BayesPR
+        # analytic check, extended to the composite block system)
+        ac = _analytic_composite(variant, g, fm, parts, ainv, e1)
+        out.update({k: round(v, 6) for k, v in ac.items()})
+        # the anchor cannot beat the chain's own MC error: gate at
+        # min(0.99, the chain-vs-chain self floor)
+        ok = ok and all(v >= min(0.99, u_self) for v in ac.values())
     if variant == "MME_CorrZ":
         # with shared incidence only the component SUM is data-identified;
         # gate it tightly and gate per-component self-calibrated
@@ -664,6 +677,50 @@ def run_grn_variant(chain, burn, thin):
           and mixing)
     out["pass"] = bool(ok)
     return out
+
+
+def _analytic_composite(variant, g, fm, parts, ainv, e1):
+    """Joint-MME closed-form posterior means at the chain's posterior-mean
+    variance components (conjugate given variances). Returns correlation
+    gates: u vs analytic u (and marker EBV vs analytic for MME_PED)."""
+    y = fm["y"]
+    n = len(y)
+    X = np.column_stack([parts["xs"]["int"], parts["xs"]["sex"],
+                         parts["xs"]["age"]])
+    ve = e1["var_e"]
+    if variant == "MME_PED":
+        gc = np.asarray(g, np.float64)
+        gc = gc - gc.mean(axis=0)
+        Z = parts["z_id"]
+        lam_u = ve / e1["var_u_mean"]
+        lam_b = ve / e1["var_b_mean"]
+        blocks = [X, Z, gc]
+        k0 = X.shape[1]
+        q = Z.shape[1]
+        p = gc.shape[1]
+        A = np.block([[b1.T @ b2 for b2 in blocks] for b1 in blocks])
+        A[k0:k0 + q, k0:k0 + q] += ainv * lam_u
+        A[k0 + q:, k0 + q:] += np.eye(p) * lam_b
+        rhs = np.concatenate([b.T @ y for b in blocks])
+        sol = np.linalg.solve(A, rhs)
+        u_sol = sol[k0:k0 + q]
+        beta_sol = sol[k0 + q:]
+        return {
+            "analytic_u_corr": corr(e1["u"], u_sol),
+            "analytic_ebv_corr": corr(e1["ebv"], gc @ beta_sol),
+        }
+    # MME_GBLUP: Z = I with G^-1 structure
+    m = np.asarray(g, np.float64)
+    pfreq = m.mean(axis=0) / 2.0
+    mc_ = m - m.mean(axis=0)
+    G = mc_ @ mc_.T / np.sum(2.0 * pfreq * (1.0 - pfreq))
+    G += 0.001 * np.eye(n)
+    lam_u = ve / e1["var_u_mean"]
+    k0 = X.shape[1]
+    A = np.block([[X.T @ X, X.T], [X, np.eye(n) + np.linalg.inv(G) * lam_u]])
+    rhs = np.concatenate([X.T @ y, y])
+    sol = np.linalg.solve(A, rhs)
+    return {"analytic_u_corr": corr(e1["u"], sol[k0:])}
 
 
 def _sire_dam_idx(ids, sires, dams):
