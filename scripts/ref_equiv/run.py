@@ -578,6 +578,11 @@ def run_composite(variant, chain, burn, thin):
             out[f"u{t}_corr"] = round(u_corr, 6)
             out[f"u{t}_self_corr"] = round(u_self, 6)
             ok = ok and u_corr >= u_self - 0.05
+    if variant in ("MME_MultiSS", "MME_Window", "MME_Chrom"):
+        # analytic conjugate-MME anchor (self-calibrated like PED/GBLUP)
+        ac = _analytic_composite(variant, g, fm, parts, ainv, e1)
+        out.update({k: round(v, 6) for k, v in ac.items()})
+        ok = ok and all(v >= min(0.99, self_corr) for v in ac.values())
     if variant in ("MME_Window", "MME_Chrom"):
         # per-region variance pattern (24 windows / 3 chromosomes)
         vb_e = e1["varM1"]
@@ -709,18 +714,59 @@ def _analytic_composite(variant, g, fm, parts, ainv, e1):
             "analytic_u_corr": corr(e1["u"], u_sol),
             "analytic_ebv_corr": corr(e1["ebv"], gc @ beta_sol),
         }
-    # MME_GBLUP: Z = I with G^-1 structure
-    m = np.asarray(g, np.float64)
-    pfreq = m.mean(axis=0) / 2.0
-    mc_ = m - m.mean(axis=0)
-    G = mc_ @ mc_.T / np.sum(2.0 * pfreq * (1.0 - pfreq))
-    G += 0.001 * np.eye(n)
-    lam_u = ve / e1["var_u_mean"]
+    if variant == "MME_GBLUP":  # Z = I with G^-1 structure
+        m = np.asarray(g, np.float64)
+        pfreq = m.mean(axis=0) / 2.0
+        mc_ = m - m.mean(axis=0)
+        G = mc_ @ mc_.T / np.sum(2.0 * pfreq * (1.0 - pfreq))
+        G += 0.001 * np.eye(n)
+        lam_u = ve / e1["var_u_mean"]
+        k0 = X.shape[1]
+        A = np.block([[X.T @ X, X.T],
+                      [X, np.eye(n) + np.linalg.inv(G) * lam_u]])
+        rhs = np.concatenate([X.T @ y, y])
+        sol = np.linalg.solve(A, rhs)
+        return {"analytic_u_corr": corr(e1["u"], sol[k0:])}
+
+    # MultiSS / Window / Chrom: fixed + marker blocks, per-locus ridge
+    # lambda_j = ve/varBeta[region(j)] (+ ve*lhs_ss for SS sets; the
+    # reference adds lhs_ss OUTSIDE the /ve scaling, mme.jl:316-322)
+    from oracle_mme import region_ranges
+
+    gc1 = np.asarray(g, np.float64)
+    gc1 = gc1 - gc1.mean(axis=0)
+    p = gc1.shape[1]
+    if variant == "MME_MultiSS":
+        gc2 = np.asarray(fm["g2"], np.float64)
+        gc2 = gc2 - gc2.mean(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lhs_ss = 1.0 / fm["ss_v"]
+            rhs_ss = lhs_ss * fm["ss_m"]
+        lhs_ss[np.isinf(lhs_ss)] = 0.0
+        rhs_ss[np.isnan(rhs_ss)] = 0.0
+        lam1 = ve / float(np.mean(e1["varM1"])) + ve * lhs_ss
+        lam2 = ve / float(np.mean(e1["varM2"]))
+        blocks = [X, gc1, gc2]
+        A = np.block([[b1.T @ b2 for b2 in blocks] for b1 in blocks])
+        k0 = X.shape[1]
+        A[k0:k0 + p, k0:k0 + p] += np.diag(lam1)
+        A[k0 + p:, k0 + p:] += np.eye(p) * lam2
+        rhs = np.concatenate([X.T @ y, gc1.T @ y + ve * rhs_ss, gc2.T @ y])
+        sol = np.linalg.solve(A, rhs)
+        ebv_sol = gc1 @ sol[k0:k0 + p] + gc2 @ sol[k0 + p:]
+        return {"analytic_ebv_corr": corr(e1["ebv"], ebv_sol)}
+
+    # Window / Chrom
+    r = 50 if variant == "MME_Window" else 99
+    regions = region_ranges(p, r, fm["chr_ids"])
+    lam = np.empty(p)
+    for ri, (lo, hi) in enumerate(regions):
+        lam[lo:hi] = ve / float(e1["varM1"][ri])
     k0 = X.shape[1]
-    A = np.block([[X.T @ X, X.T], [X, np.eye(n) + np.linalg.inv(G) * lam_u]])
-    rhs = np.concatenate([X.T @ y, y])
+    A = np.block([[X.T @ X, X.T @ gc1], [gc1.T @ X, gc1.T @ gc1 + np.diag(lam)]])
+    rhs = np.concatenate([X.T @ y, gc1.T @ y])
     sol = np.linalg.solve(A, rhs)
-    return {"analytic_u_corr": corr(e1["u"], sol[k0:])}
+    return {"analytic_ebv_corr": corr(e1["ebv"], gc1 @ sol[k0:])}
 
 
 def _sire_dam_idx(ids, sires, dams):
