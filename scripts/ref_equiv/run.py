@@ -432,6 +432,7 @@ def run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed):
         b2 = np.asarray(res.draws["betaM2"]).mean(axis=0)
         ebv = ebv + gc @ b1 + gc2 @ b2
         out["cm_beta"] = np.stack([b1, b2], axis=1)
+        out["cm_var"] = np.asarray(res.draws["varM1_M2"]).mean(axis=0).reshape(2, 2)
     out["ebv"] = ebv
     if variant == "MME_GBLUP":
         # the GBLUP breeding values ARE the genomic values — gate on u
@@ -444,6 +445,8 @@ def run_engine_composite(variant, g, fm, parts, chain, burn, thin, seed):
         out["var_b_mean"] = float(np.asarray(res.draws["varM1"]).mean())
     if variant == "MME_CorrZ":
         out["cz_u"] = np.asarray(res.draws["uA1_A2"]).mean(axis=0)  # (nT, q)
+        out["cz_var"] = np.asarray(
+            res.draws["varUA1_A2"]).mean(axis=0).reshape(2, 2)
     return out
 
 
@@ -578,7 +581,8 @@ def run_composite(variant, chain, burn, thin):
             out[f"u{t}_corr"] = round(u_corr, 6)
             out[f"u{t}_self_corr"] = round(u_self, 6)
             ok = ok and u_corr >= u_self - 0.05
-    if variant in ("MME_MultiSS", "MME_Window", "MME_Chrom"):
+    if variant in ("MME_MultiSS", "MME_Window", "MME_Chrom", "MME_CorrM",
+                   "MME_CorrZ"):
         # analytic conjugate-MME anchor (self-calibrated like PED/GBLUP)
         ac = _analytic_composite(variant, g, fm, parts, ainv, e1)
         out.update({k: round(v, 6) for k, v in ac.items()})
@@ -756,17 +760,57 @@ def _analytic_composite(variant, g, fm, parts, ainv, e1):
         ebv_sol = gc1 @ sol[k0:k0 + p] + gc2 @ sol[k0 + p:]
         return {"analytic_ebv_corr": corr(e1["ebv"], ebv_sol)}
 
-    # Window / Chrom
-    r = 50 if variant == "MME_Window" else 99
-    regions = region_ranges(p, r, fm["chr_ids"])
-    lam = np.empty(p)
-    for ri, (lo, hi) in enumerate(regions):
-        lam[lo:hi] = ve / float(e1["varM1"][ri])
+    if variant in ("MME_Window", "MME_Chrom"):
+        r = 50 if variant == "MME_Window" else 99
+        regions = region_ranges(p, r, fm["chr_ids"])
+        lam = np.empty(p)
+        for ri, (lo, hi) in enumerate(regions):
+            lam[lo:hi] = ve / float(e1["varM1"][ri])
+        k0 = X.shape[1]
+        A = np.block([[X.T @ X, X.T @ gc1],
+                      [gc1.T @ X, gc1.T @ gc1 + np.diag(lam)]])
+        rhs = np.concatenate([X.T @ y, gc1.T @ y])
+        sol = np.linalg.solve(A, rhs)
+        return {"analytic_ebv_corr": corr(e1["ebv"], gc1 @ sol[k0:])}
+
+    if variant == "MME_CorrM":
+        # joint (beta1, beta2) with prior precision kron(inv(Vbar), I_p)
+        gc2 = np.asarray(fm["g2"], np.float64)
+        gc2 = gc2 - gc2.mean(axis=0)
+        iv = np.linalg.inv(e1["cm_var"])
+        blocks = [X, gc1, gc2]
+        A = np.block([[b1.T @ b2 for b2 in blocks] for b1 in blocks])
+        k0 = X.shape[1]
+        A[k0:k0 + p, k0:k0 + p] += ve * iv[0, 0] * np.eye(p)
+        A[k0:k0 + p, k0 + p:] += ve * iv[0, 1] * np.eye(p)
+        A[k0 + p:, k0:k0 + p] += ve * iv[1, 0] * np.eye(p)
+        A[k0 + p:, k0 + p:] += ve * iv[1, 1] * np.eye(p)
+        rhs = np.concatenate([X.T @ y, gc1.T @ y, gc2.T @ y])
+        sol = np.linalg.solve(A, rhs)
+        ebv_sol = gc1 @ sol[k0:k0 + p] + gc2 @ sol[k0 + p:]
+        return {"analytic_ebv_corr": corr(e1["ebv"], ebv_sol)}
+
+    # MME_CorrZ: shared-incidence tuple (u1, u2) with prior precision
+    # kron(inv(Vu), A^-1) plus the M1 marker block
+    Z = parts["z_id"]
+    q = Z.shape[1]
+    iv_u = np.linalg.inv(e1["cz_var"])
+    lam_b = ve / float(np.mean(e1["varM1"]))
+    blocks = [X, Z, Z, gc1]
+    A = np.block([[b1.T @ b2 for b2 in blocks] for b1 in blocks])
     k0 = X.shape[1]
-    A = np.block([[X.T @ X, X.T @ gc1], [gc1.T @ X, gc1.T @ gc1 + np.diag(lam)]])
-    rhs = np.concatenate([X.T @ y, gc1.T @ y])
+    for t_ in range(2):
+        for u_ in range(2):
+            A[k0 + t_ * q:k0 + (t_ + 1) * q,
+              k0 + u_ * q:k0 + (u_ + 1) * q] += ve * iv_u[t_, u_] * ainv
+    A[k0 + 2 * q:, k0 + 2 * q:] += lam_b * np.eye(p)
+    rhs = np.concatenate([X.T @ y, Z.T @ y, Z.T @ y, gc1.T @ y])
     sol = np.linalg.solve(A, rhs)
-    return {"analytic_ebv_corr": corr(e1["ebv"], gc1 @ sol[k0:])}
+    u_sum_sol = sol[k0:k0 + q] + sol[k0 + q:k0 + 2 * q]
+    return {
+        "analytic_usum_corr": corr(e1["cz_u"].sum(axis=0), u_sum_sol),
+        "analytic_ebv_corr": corr(e1["ebv"], gc1 @ sol[k0 + 2 * q:]),
+    }
 
 
 def _sire_dam_idx(ids, sires, dams):
