@@ -40,6 +40,10 @@ elseif method == "BayesLV"
     BayesLV(0.05, @formula(v ~ 1 + x), covdf, 0.1; estimateVarZeta=false)
 elseif method == "BayesPR_D" || method == "BayesPR_Z"
     BayesPR(9999, 0.05)
+elseif method == "BayesRCpi_D"
+    BayesRCπ([0.9, 0.05, 0.05], [0.0, 1e-3, 1e-2], 1.0, annot; estimatePi=true)
+elseif method == "BayesRCplus_D"
+    BayesRCplus([0.9, 0.05, 0.05], [0.0, 1e-3, 1e-2], 1.0, annot; estimatePi=true)
 elseif method == "BayesB_D"
     BayesB(0.1, 0.05; estimatePi=true)
 elseif method == "BayesC_D"

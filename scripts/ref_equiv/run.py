@@ -66,6 +66,7 @@ ALL_METHODS = ["BayesPR", "BayesB", "BayesC", "BayesR",
                # weighted-residual ("D") corner: same samplers with the
                # committed heteroscedastic weight vector (mme.jl:71-75)
                "BayesPR_D", "BayesB_D", "BayesC_D", "BayesR_D", "BayesLV_D",
+               "BayesRCpi_D", "BayesRCplus_D",
                # iid (1|grp) random-effect corner: sampleZ!/sampleU scan
                # (functions.jl:57-97) + sampleVarU, vs the same in the oracle
                "BayesPR_Z"]
@@ -842,7 +843,7 @@ def main():
     # run them 2x longer and thin 2 so the self-calibration is sharp
     # enough for the PIP gate to discriminate
     pip_heavy = {"BayesB", "BayesC", "BayesR", "BayesRCpi", "BayesRCplus",
-                 "BayesB_D", "BayesC_D", "BayesR_D"}
+                 "BayesB_D", "BayesC_D", "BayesR_D", "BayesRCpi_D", "BayesRCplus_D"}
     for m in methods:
         if m == "GRN":
             res = run_grn_variant(chain, burn, thin)
