@@ -1,4 +1,4 @@
-"""Reference-equivalence harness: the 21-variant matrix.
+"""Reference-equivalence harness: the full variant matrix.
 
 All seven marker methods, the weighted-residual corners, the iid
 random-effect corner, the composite MME models (pedigree, correlated
