@@ -7,6 +7,7 @@ Here a JSON (or TOML) config compiles to the same pipeline:
     python -m nextgp_tpu run analysis.json
     python -m nextgp_tpu summary betaM --out-folder outMCMC
     python -m nextgp_tpu diag varE --out-folder outMCMC   # multi-chain R-hat/ESS
+    python -m nextgp_tpu predict analysis.json --set M --new new_geno.txt
     python -m nextgp_tpu roofline analysis.json --device v5e
 
 Config schema (all paths relative to the config file):
@@ -231,6 +232,44 @@ def cmd_roofline(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Serve EBVs from a finished run: training-panel genomic values, or
+    predictions for NEW individuals under the trained centering. The
+    reference leaves this to user-side file post-processing
+    (docs/src/BWGR/BWGR.md:50-58)."""
+    from .data.ingest import read_genotype_file
+    from .io.summary import summary_mcmc
+    from .predict import genomic_values, predict
+
+    cfg = _load_config(args.config)
+    base = os.path.dirname(os.path.abspath(args.config))
+
+    def rel(p):
+        return p if os.path.isabs(p) else os.path.join(base, p)
+
+    genos = cfg.get("genotypes") or {}
+    if args.set not in genos:
+        print(f"marker set {args.set!r} not in config genotypes "
+              f"{sorted(genos)}", file=sys.stderr)
+        return 2
+    md = read_genotype_file(rel(genos[args.set]))
+    beta = np.atleast_1d(summary_mcmc(f"beta{args.set}",
+                                      out_folder=args.out_folder))
+    if args.new:
+        new_md = read_genotype_file(rel(args.new))
+        ebv = predict(md, beta, new_md.genotypes)
+    else:
+        ebv = genomic_values(md, beta)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        np.savetxt(out, ebv[:, None], fmt="%.10g")
+    finally:
+        if args.output:
+            out.close()
+            print(f"{len(ebv)} genomic values written to {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nextgp_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -253,6 +292,18 @@ def main(argv=None) -> int:
     dg.add_argument("param")
     dg.add_argument("--out-folder", default="outMCMC")
     dg.set_defaults(fn=cmd_diag)
+    pr = sub.add_parser(
+        "predict", help="genomic values from a finished run (training panel "
+                        "or new individuals under the trained centering)")
+    pr.add_argument("config")
+    pr.add_argument("--set", default="M", help="marker set name in the config")
+    pr.add_argument("--out-folder", default="outMCMC")
+    pr.add_argument("--new", default=None,
+                    help="genotype file of NEW individuals (training locus "
+                         "order); omit for training-panel EBVs")
+    pr.add_argument("--output", default=None, help="write values here "
+                                                   "instead of stdout")
+    pr.set_defaults(fn=cmd_predict)
     args = ap.parse_args(argv)
     return args.fn(args)
 
